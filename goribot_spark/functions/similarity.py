@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure built-ins: zip_with dot
+product, JVM-side, broadcast query side), and an LSH-bucketed approximate
+variant as the scale path: at 10^10 rows the brute-force cross join is
+O(N·Q); random-hyperplane bucketing reduces the candidate set to matching
+buckets, shuffling only (bucket, id) pairs. Hyperplanes are derived
+deterministically from md5 — reproducible without driver-side RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query side, dot
+    products in whole-stage codegen, per-query top-k via window row_number.
+    Ties broken by ascending neighbor id — fully deterministic.
+
+    Returns (query_id, neighbor_id, rank, sim) with sim rounded to 4 dp.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ev")
+    )
+    j = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (_norm("qv") * _norm("ev")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplane_sign(vec, plane_idx: int, dim: int):
+    """Sign of <v, h_p> with h_p[i] = ±1 derived from md5(p:i) parity —
+    deterministic pseudo-random hyperplanes, no RNG state, no data movement."""
+    signed = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i, p=plane_idx: F.when(
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 2), 16, 10)
+                .cast("int") % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        lambda x, s: x * s,
+    )
+    return (F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+
+
+def with_lsh_bucket(
+    df: DataFrame, dim: int, num_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach a ``bucket`` int: num_planes-bit random-hyperplane signature.
+    Cosine-similar vectors collide with high probability (Charikar SimHash
+    for real vectors)."""
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        bucket = bucket * 2 + _hyperplane_sign(v, p, dim)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only compare vectors sharing an LSH bucket.
+
+    The equi-join on ``bucket`` replaces the cross join — at scale this is a
+    shuffle on a low-cardinality key with AQE skew handling; recall is tuned
+    by num_planes (fewer planes → bigger buckets → higher recall)."""
+    from pyspark.sql import Window
+
+    e = with_lsh_bucket(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")),
+        dim,
+        num_planes,
+        "ev",
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        dim,
+        num_planes,
+        "qv",
+    )
+    j = (
+        e.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            _dot(as_double(F.col("qv")), as_double(F.col("ev")))
+            / (_norm(as_double(F.col("qv"))) * _norm(as_double(F.col("ev")))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing + exact cosine
+    verify within buckets. Returns (id_a, id_b, sim) with id_a < id_b."""
+    b = with_lsh_bucket(emb.select(id_col, vec_col), dim, num_planes, vec_col)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            _dot(as_double(F.col("va")), as_double(F.col("vb")))
+            / (_norm(as_double(F.col("va"))) * _norm(as_double(F.col("vb")))),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

@@ -1,0 +1,88 @@
+"""Link discovery → candidate frontier rows (P2-P4, goribot.go:163-172).
+
+posexplode the parsed link arrays, resolve relative URLs against the parent
+response URL (goribot.go:163-166 → urljoin in a pandas UDF), assign child
+depth = parent + 1 (goribot.go:166-168), carry the parent URL as Referer
+(RefererFiller, extensions.go:250-259), propagate meta/handler/priority, and
+stamp deterministic ordering keys (discovery_epoch = wave, seq = rank by
+(parent seq, link position)) that replace queue position (scheduler.go:60-68).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from goribot_spark.canon import with_url_hash
+from goribot_spark.operators.ordering import with_global_rank
+
+
+@F.pandas_udf(StringType())
+def resolve_url_udf(parent: pd.Series, link: pd.Series) -> pd.Series:
+    def _resolve(p, l):
+        if l is None:
+            return None
+        try:
+            return urljoin(p, l)
+        except ValueError:
+            return None
+
+    return pd.Series([_resolve(p, l) for p, l in zip(parent, link)])
+
+
+@F.pandas_udf(StringType())
+def host_of_udf(url: pd.Series) -> pd.Series:
+    def _host(u):
+        if u is None:
+            return None
+        try:
+            return (urlsplit(u).hostname or "").lower()
+        except ValueError:
+            return None
+
+    return url.map(_host)
+
+
+def build_candidates(fetched: DataFrame, wave: int, seq_base: int) -> DataFrame:
+    """Fetched+parsed wave → FRONTIER-schema candidate rows (pre-admission)."""
+    exploded = fetched.select(
+        F.col("url").alias("parent_url"),
+        F.col("depth").alias("parent_depth"),
+        F.col("priority").alias("parent_priority"),
+        F.col("seq").alias("parent_seq"),
+        F.col("handler_id"),
+        F.col("meta"),
+        F.posexplode_outer("links").alias("link_pos", "raw_link"),
+    ).where(F.col("raw_link").isNotNull())
+
+    resolved = exploded.withColumn(
+        "url", resolve_url_udf(F.col("parent_url"), F.col("raw_link"))
+    ).where(F.col("url").isNotNull() & F.col("url").startswith("http"))
+
+    resolved = with_url_hash(resolved, "url", "url_hash").withColumn(
+        "host", host_of_udf(F.col("url"))
+    )
+
+    ranked = with_global_rank(
+        resolved,
+        [F.col("parent_seq").asc(), F.col("link_pos").asc()],
+        out_col="seq",
+        base=seq_base,
+    )
+    return ranked.select(
+        "url",
+        "url_hash",
+        "host",
+        (F.col("parent_depth") + 1).cast("int").alias("depth"),
+        F.col("parent_priority").alias("priority"),
+        F.lit(wave).cast("int").alias("discovery_epoch"),
+        "seq",
+        F.lit(0).cast("int").alias("retry_count"),
+        F.col("parent_url").alias("referer"),
+        "handler_id",
+        "meta",
+    )

@@ -1,0 +1,115 @@
+"""Fetch-payload decode + parse stage (reference net.go:191-228, S6-S9).
+
+One Arrow-vectorized pandas UDF handles, per batch: transparent gunzip
+(net.go:296-303), charset decode honoring the content-type charset parameter
+(net.go:199-206 — the reference uses chardet auto-detection; we honor the
+declared charset and fall back to UTF-8, the deterministic subset of that
+behavior), HTML link/img/title extraction (net.go:219-225's goquery DOM →
+stdlib HTMLParser here), and JSON field extraction (net.go:231-233's gjson →
+``json`` module). No DOM object crosses stages: the UDF returns a struct
+column ``(links, image_refs, title, parse_error)``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PARSED = StructType(
+    [
+        StructField("links", ArrayType(StringType()), True),
+        StructField("image_refs", ArrayType(StringType()), True),
+        StructField("title", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+_CHARSET_RE = re.compile(r"charset=([\w\-]+)", re.I)
+
+
+class _Extractor(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.links: list[str] = []
+        self.images: list[str] = []
+        self.title_parts: list[str] = []
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "a" and d.get("href"):
+            self.links.append(d["href"])
+        elif tag == "img" and d.get("src"):
+            src = d["src"]
+            self.images.append(src[6:] if src.startswith("img://") else src)
+        elif tag == "title":
+            self._in_title = True
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+
+
+def _parse_one(body: bytes | None, content_type: str | None):
+    if body is None:
+        return None, None, None, "empty_body"
+    try:
+        if body[:2] == b"\x1f\x8b":
+            body = gzip.decompress(body)
+        ctype = content_type or ""
+        if "json" in ctype:
+            doc = json.loads(body.decode("utf-8"))
+            return (
+                list(doc.get("links", [])),
+                list(doc.get("images", [])),
+                doc.get("title"),
+                None,
+            )
+        if "html" in ctype or ctype.startswith("text/"):
+            m = _CHARSET_RE.search(ctype)
+            text = body.decode(m.group(1) if m else "utf-8", errors="replace")
+            ex = _Extractor()
+            ex.feed(text)
+            return ex.links, ex.images, "".join(ex.title_parts), None
+        return [], [], None, None  # opaque payload: no parse (net.go:196-197)
+    except Exception as e:  # R3 panic recovery: never fail the job
+        return None, None, None, f"parse_error:{type(e).__name__}:{e}"
+
+
+@F.pandas_udf(PARSED)
+def parse_body_udf(body: pd.Series, content_type: pd.Series) -> pd.DataFrame:
+    out = {"links": [], "image_refs": [], "title": [], "parse_error": []}
+    for b, ct in zip(body, content_type):
+        links, imgs, title, err = _parse_one(b, ct)
+        out["links"].append(links)
+        out["image_refs"].append(imgs)
+        out["title"].append(title)
+        out["parse_error"].append(err)
+    return pd.DataFrame(out)
+
+
+def with_parsed(df, body_col: str = "body", ctype_col: str = "content_type"):
+    """Attach parsed.links / parsed.image_refs / parsed.title / parse_error."""
+    return (
+        df.withColumn("_parsed", parse_body_udf(F.col(body_col), F.col(ctype_col)))
+        .withColumn("links", F.col("_parsed.links"))
+        .withColumn("image_refs", F.col("_parsed.image_refs"))
+        .withColumn("title", F.col("_parsed.title"))
+        .withColumn("parse_error", F.col("_parsed.parse_error"))
+        .drop("_parsed")
+    )
