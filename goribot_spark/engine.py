@@ -53,6 +53,8 @@ class CrawlConfig:
     retry_max: int = 0  # Retry(maxTimes) — extensions.go:89-106; 0 = off
     okcodes: tuple[int, ...] = (200,)
     dedup: bool = True  # ReqDeduplicate — extensions.go:288-309
+    use_bloom: bool = False  # approximate pre-filter over seen (operators/bloom.py)
+    bloom_bits: int = 1 << 23
     dfs: bool = False  # SetDepthFirst — extensions.go:262-269
     robots: bool = False  # RobotsTxt — extensions.go:131-151
     ua: str = "goribot-spark"
@@ -91,6 +93,28 @@ class CrawlEngine:
             self.cfg.num_partitions = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
+        self._bloom = (
+            self.store.load_bloom_union()
+            if (self.cfg.dedup and self.cfg.use_bloom)
+            else None
+        )
+
+    def _dedup(self, df):
+        return dedup_against_seen(
+            df, self.store.seen(), self.spark, self._bloom, self.cfg.bloom_bits
+        )
+
+    def _bloom_commit(self, wave: int, admitted) -> None:
+        """Persist this wave's Bloom increment and fold it into memory."""
+        if not (self.cfg.dedup and self.cfg.use_bloom):
+            return
+        import numpy as np
+
+        from goribot_spark.operators.bloom import build_bloom
+
+        inc = build_bloom(admitted.select("url_hash"), self.cfg.bloom_bits)
+        self.store.save_bloom(wave, inc)
+        self._bloom = inc if self._bloom is None else np.bitwise_or(self._bloom, inc)
 
     # -- ordering contract (O1/O2, SURVEY §2.6) ---------------------------
 
@@ -127,7 +151,7 @@ class CrawlEngine:
         df = apply_rule_filters(df, self.cfg.rules, self.cfg.whitelist, self.cfg.max_depth)
         df = apply_robots(df, self.robots, self.cfg.ua) if self.robots is not None else df
         if self.cfg.dedup:
-            df = dedup_against_seen(df, self.store.seen())
+            df = self._dedup(df)
         remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()} or {
             r.rule_id: r.max_req for r in self.cfg.rules if r.max_req is not None
         }
@@ -138,6 +162,7 @@ class CrawlEngine:
         self.store.write("frontier", wave, df.select(*schemas.FRONTIER.fieldNames()))
         if self.cfg.dedup:
             self.store.write("seen", wave, df.select("url_hash"))
+            self._bloom_commit(wave, df)
         admitted_per_rule = {
             row["rule_id"]: row["n"]
             for row in resolve_rule(df, self.cfg.rules)
@@ -203,10 +228,15 @@ class CrawlEngine:
             .otherwise(F.col("_pstatus")),
         )
         ok = F.col("status").isin(list(cfg.okcodes))
+        # Slim persisted status frame: retry/error/metrics paths reuse it
+        # without re-running the fetch join (bodies stay out of the cache).
+        fetch_status = fetched.select(
+            *schemas.FRONTIER.fieldNames(), "status"
+        ).persist()
         parsed = with_parsed(fetched.where(ok)).persist()
 
         # R1/R2 retry routing + terminal errors.
-        failed = fetched.where(~ok | F.col("status").isNull())
+        failed = fetch_status.where(~ok | F.col("status").isNull())
         retryable = failed.where(F.col("retry_count") < F.lit(cfg.retry_max))
         terminal = failed.where(F.col("retry_count") >= F.lit(cfg.retry_max))
         seq_base = int(state.get("seq_base", 0))
@@ -251,12 +281,12 @@ class CrawlEngine:
             F.col("parse_error").isNull()
             & F.col("handler_id").isin(H.link_emitting_ids())
         )
-        cands = build_candidates(emit_links, wave, seq_base)
+        cands, n_cands = build_candidates(emit_links, wave, seq_base)
         cands = apply_rule_filters(cands, cfg.rules, cfg.whitelist, cfg.max_depth)
         if self.robots is not None:
             cands = apply_robots(cands, self.robots, cfg.ua)
         if cfg.dedup:
-            cands = dedup_against_seen(cands, self.store.seen())
+            cands = self._dedup(cands)
         remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()}
         cands = apply_max_req(cands, remaining, ["priority", "discovery_epoch", "seq"])
         admitted = cands.persist()
@@ -291,7 +321,7 @@ class CrawlEngine:
 
         # Per-partition lineage metrics (north rule).
         metrics = (
-            fetched.withColumn("pid", F.spark_partition_id())
+            fetch_status.withColumn("pid", F.spark_partition_id())
             .groupBy("pid")
             .agg(
                 F.count(F.lit(1)).alias("urls_scheduled"),
@@ -328,6 +358,7 @@ class CrawlEngine:
         )
         if cfg.dedup:
             self.store.write("seen", wave, admitted.select("url_hash"))
+            self._bloom_commit(wave, admitted)
         self.store.write("results", wave, results)
         self.store.write("errors", wave, errors)
         wall = time.time() - t0
@@ -338,21 +369,21 @@ class CrawlEngine:
         )
         self.store.write("metrics", wave, metrics)
 
-        admitted_per_rule = {
-            row["rule_id"]: row["n"]
-            for row in resolve_rule(admitted, cfg.rules)
-            .groupBy("rule_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-            if row["rule_id"] is not None
-        }
-        for rid, used in admitted_per_rule.items():
-            if rid in remaining:
-                remaining[rid] = max(0, remaining[rid] - used)
-        max_seq = admitted.agg(F.max("seq")).collect()[0][0]
+        if remaining:  # only collect rule accounting when a MaxReq rule exists
+            admitted_per_rule = {
+                row["rule_id"]: row["n"]
+                for row in resolve_rule(admitted, cfg.rules)
+                .groupBy("rule_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+                if row["rule_id"] is not None
+            }
+            for rid, used in admitted_per_rule.items():
+                if rid in remaining:
+                    remaining[rid] = max(0, remaining[rid] - used)
         state.update(
             {
-                "seq_base": max(seq_base, (max_seq or 0) + 1),
+                "seq_base": seq_base + n_cands,
                 "max_req_remaining": remaining,
                 "rule_tokens": new_tokens,
             }
@@ -364,8 +395,10 @@ class CrawlEngine:
             "wall_sec": wall,
         }
         self.store.commit_wave(wave, stats, state)
-        for df in (wave_df, parsed, admitted, results):
+        for df in (wave_df, fetch_status, parsed, admitted, results):
             df.unpersist()
+        # Drop stragglers (e.g. the global-rank range-partitioned cache).
+        self.spark.catalog.clearCache()
         return {"wave": wave, "done": False, **stats}
 
     # -- the driver loop (goribot.go:227-248) ------------------------------

@@ -143,16 +143,29 @@ def apply_robots(df: DataFrame, robots: DataFrame | None, ua: str) -> DataFrame:
     return out.select(*keep_cols)
 
 
-def dedup_against_seen(cand: DataFrame, seen: DataFrame) -> DataFrame:
+def dedup_against_seen(
+    cand: DataFrame,
+    seen: DataFrame,
+    spark=None,
+    bloom=None,
+    bloom_bits: int | None = None,
+) -> DataFrame:
     """F6/F7: global seen-set anti-join + intra-wave first-wins self-dedup.
 
     Retry rows never reach this path (re-enqueued directly with retry_count+1
     — the dedup exemption of extensions.go:293-295); hashes of admitted rows
     are appended to ``seen`` by the caller, making the table the shared
     atomic set that Redis SAdd was (manager.go:182-193).
+
+    With ``bloom`` set, the approximate pre-filter prunes definitely-new rows
+    from the anti-join (operators/bloom.py); output is identical either way.
     """
     w = Window.partitionBy("url_hash").orderBy("seq")
     cand = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    if bloom is not None:
+        from goribot_spark.operators.bloom import dedup_with_bloom
+
+        return dedup_with_bloom(cand, seen, spark, bloom, bloom_bits)
     return cand.join(seen.select("url_hash"), on="url_hash", how="left_anti")
 
 

@@ -47,8 +47,11 @@ def host_of_udf(url: pd.Series) -> pd.Series:
     return url.map(_host)
 
 
-def build_candidates(fetched: DataFrame, wave: int, seq_base: int) -> DataFrame:
-    """Fetched+parsed wave → FRONTIER-schema candidate rows (pre-admission)."""
+def build_candidates(fetched: DataFrame, wave: int, seq_base: int):
+    """Fetched+parsed wave → FRONTIER-schema candidate rows (pre-admission).
+
+    Returns (candidates_df, n_candidates); seq values occupy
+    [seq_base, seq_base + n_candidates)."""
     exploded = fetched.select(
         F.col("url").alias("parent_url"),
         F.col("depth").alias("parent_depth"),
@@ -67,11 +70,12 @@ def build_candidates(fetched: DataFrame, wave: int, seq_base: int) -> DataFrame:
         "host", host_of_udf(F.col("url"))
     )
 
-    ranked = with_global_rank(
+    ranked, total = with_global_rank(
         resolved,
         [F.col("parent_seq").asc(), F.col("link_pos").asc()],
         out_col="seq",
         base=seq_base,
+        return_total=True,
     )
     return ranked.select(
         "url",
@@ -85,4 +89,4 @@ def build_candidates(fetched: DataFrame, wave: int, seq_base: int) -> DataFrame:
         F.col("parent_url").alias("referer"),
         "handler_id",
         "meta",
-    )
+    ), total

@@ -39,10 +39,14 @@ def with_global_rank(
     out_col: str = "seq",
     base: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Deterministic 0-based global rank by ``keys`` (must be a total order),
     without a single-partition sort: rank = intra-partition row_number +
-    cumulative count of preceding range partitions."""
+    cumulative count of preceding range partitions.
+
+    With ``return_total`` also returns the row count (already computed for
+    the offsets — saves callers an extra action)."""
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -70,4 +74,6 @@ def with_global_rank(
         )
         .drop("_pid")
     )
+    if return_total:
+        return out, acc
     return out

@@ -136,6 +136,30 @@ class CrawlStore:
     def seen(self) -> DataFrame:
         return self.read("seen")
 
+    # -- Bloom filter persistence (one .npy increment per wave) -----------
+
+    def bloom_path(self, wave: int) -> str:
+        d = os.path.join(self.run_dir, "bloom")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"wave={wave}.npy")
+
+    def save_bloom(self, wave: int, bits) -> None:
+        import numpy as np
+
+        np.save(self.bloom_path(wave), bits)
+
+    def load_bloom_union(self):
+        """OR of all committed waves' Bloom increments (None if none)."""
+        import numpy as np
+
+        out = None
+        for w in self.committed_waves():
+            p = self.bloom_path(w)
+            if os.path.exists(p):
+                b = np.load(p)
+                out = b if out is None else np.bitwise_or(out, b)
+        return out
+
     def seed_seq_base(self) -> int:
         return int(self.manifest["driver_state"].get("seq_base", 0))
 

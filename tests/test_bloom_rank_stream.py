@@ -1,0 +1,104 @@
+"""Unit tests: Bloom pre-filter equivalence, distributed global rank,
+streaming monitor."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from goribot_spark.operators.bloom import (
+    build_bloom,
+    dedup_with_bloom,
+    maybe_seen_udf,
+    union_blooms,
+)
+from goribot_spark.operators.ordering import with_global_rank
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    seen_hashes = [(int(h),) for h in np.random.default_rng(1).integers(-(2**62), 2**62, 5000)]
+    seen = spark.createDataFrame(seen_hashes, "url_hash long")
+    bloom = build_bloom(seen, num_bits=1 << 20)
+    udf = maybe_seen_udf(spark, bloom, num_bits=1 << 20)
+    # Every seen hash must test positive (no false negatives).
+    fn = seen.withColumn("m", udf(F.col("url_hash"))).where(~F.col("m")).count()
+    assert fn == 0
+    # Unseen hashes mostly test negative (fpr well under 5% at this sizing).
+    unseen = spark.createDataFrame(
+        [(int(h),) for h in np.random.default_rng(2).integers(-(2**62), 2**62, 2000)],
+        "url_hash long",
+    )
+    fp = unseen.withColumn("m", udf(F.col("url_hash"))).where(F.col("m")).count()
+    assert fp < 100
+
+
+def test_bloom_dedup_equals_exact(spark):
+    rng = np.random.default_rng(3)
+    seen_vals = [int(h) for h in rng.integers(0, 10_000, 3000)]
+    cand_vals = [int(h) for h in rng.integers(0, 12_000, 2000)]
+    seen = spark.createDataFrame([(v,) for v in set(seen_vals)], "url_hash long")
+    cand = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(cand_vals)], "url_hash long, seq long"
+    ).dropDuplicates(["url_hash"])
+    exact = {
+        r["url_hash"]
+        for r in cand.join(seen, "url_hash", "left_anti").collect()
+    }
+    bloom = build_bloom(seen, num_bits=1 << 20)
+    got = {
+        r["url_hash"]
+        for r in dedup_with_bloom(cand, seen, spark, bloom, num_bits=1 << 20).collect()
+    }
+    assert got == exact
+
+
+def test_bloom_union():
+    a = np.zeros(16, dtype=np.uint8)
+    b = np.zeros(16, dtype=np.uint8)
+    a[0], b[5] = 3, 7
+    u = union_blooms([a, b])
+    assert u[0] == 3 and u[5] == 7
+
+
+def test_global_rank_deterministic_and_total(spark):
+    rows = [(i % 7, i * 31 % 101, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "a int, b int, id int")
+    keys = [F.col("a").asc(), F.col("b").asc(), F.col("id").asc()]
+    r1, total = with_global_rank(df, keys, out_col="rk", base=10, return_total=True)
+    assert total == 500
+    got = {r["id"]: r["rk"] for r in r1.collect()}
+    expected_order = sorted(rows, key=lambda t: (t[0], t[1], t[2]))
+    for rank, (_, _, i) in enumerate(expected_order):
+        assert got[i] == rank + 10
+    # Re-run → identical ranks (determinism across plans).
+    r2 = with_global_rank(df.repartition(13), keys, out_col="rk", base=10)
+    got2 = {r["id"]: r["rk"] for r in r2.collect()}
+    assert got2 == got
+
+
+def test_crawl_with_bloom_identical(spark, fx, tmp_path):
+    """use_bloom=True must not change any crawl decision — pure shuffle
+    pruning (and it must survive resume via the persisted increments)."""
+    from tests.conftest import crawl, engine_attempt_counts, engine_fetched_set
+
+    base = crawl(spark, fx, tmp_path / "a", ["http://site1.test/p/0"], max_depth=2, max_waves=8)
+    with_b = crawl(
+        spark, fx, tmp_path / "b", ["http://site1.test/p/0"],
+        max_depth=2, max_waves=8, use_bloom=True,
+    )
+    assert engine_fetched_set(with_b) == engine_fetched_set(base)
+    assert engine_attempt_counts(with_b) == engine_attempt_counts(base)
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path / "b"), "bloom", "wave=0.npy"))
+
+
+def test_streaming_monitor(spark, fx, tmp_path):
+    from tests.conftest import crawl
+
+    eng = crawl(spark, fx, tmp_path / "run", ["http://site1.test/p/0"], max_depth=2, max_waves=6)
+    from goribot_spark.streaming.monitor import run_monitor_once
+
+    run_monitor_once(spark, str(tmp_path / "run"), str(tmp_path / "mon"))
+    agg = spark.sql("select * from crawl_monitor").collect()
+    assert len(agg) >= 1
+    total_items = sum(r["items"] for r in agg)
+    assert total_items == eng.store.read("results").count()

@@ -121,14 +121,16 @@ def test_max_depth(spark, fx, tmp_path):
 
 
 def test_max_req_budget(spark, fx, tmp_path):
-    """TestMaxReq (limiter_test.go:110-134): lifetime admission cap per rule."""
-    rules = [LimitRule(host_glob="site0.test", max_req=3)]
+    """TestMaxReq (limiter_test.go:110-134): lifetime admission cap per rule.
+
+    Rule targets site1 (healthy root — site0's root is flaky and would die
+    before discovering children with retry off)."""
+    rules = [LimitRule(host_glob="site1.test", max_req=3)]
     eng = crawl(spark, fx, tmp_path / "r", SEEDS2, rules=rules, max_waves=8)
-    sim = simulate(fx, SEEDS2, rules=[LimitRule(host_glob="site0.test", max_req=3)])
+    sim = simulate(fx, SEEDS2, rules=[LimitRule(host_glob="site1.test", max_req=3)])
     assert engine_fetched_set(eng) == sim.fetched_set()
-    site0 = {h for (h, d) in engine_fetched_set(eng)}
-    log = eng.store.fetch_log().where(F.col("url").startswith("http://site0"))
-    assert log.count() == 3
+    log = eng.store.fetch_log().where(F.col("url").startswith("http://site1"))
+    assert log.count() == 3  # exactly max_req admissions, like the reference test
 
 
 def test_retry_exhaustion_errors(spark, fx, tmp_path):
