@@ -179,7 +179,9 @@ def q_minhash_sig_groups(spark, sf_dir):
     """MinHash full-signature equality groups (16 portable md5-derived
     hashes): the exact-collision core of MinHash dedup, oracle-checkable."""
     d = _t(spark, sf_dir, "documents")
-    sigd = minhash_signature(d.select("doc_id", "text"), num_hashes=16, shingle_n=3)
+    sigd = minhash_signature(
+        d.select("doc_id", "text"), num_hashes=16, shingle_n=3, id_col="doc_id"
+    )
     key = F.concat_ws(",", *[F.col("sig")[i].cast("string") for i in range(16)])
     return (
         sigd.select("doc_id", key.alias("sig_key"))

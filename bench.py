@@ -56,7 +56,9 @@ def bench_crawl(spark) -> dict:
     run_dir = "/tmp/goribot_bench_run"
     shutil.rmtree(run_dir, ignore_errors=True)
     seeds = [f"http://site{s}.test/p/0" for s in range(BENCH_HOSTS)]
-    cfg = CrawlConfig(retry_max=2, max_waves=BENCH_DEPTH + 6)
+    # max_waves is a safety cap, not the expected count: BFS depth+1 waves
+    # plus a retry tail (flaky pages re-enter up to 2 later waves each).
+    cfg = CrawlConfig(retry_max=2, max_waves=48)
     eng = CrawlEngine(spark, fx, run_dir, cfg)
     t0 = time.time()
     eng.seed(seeds)

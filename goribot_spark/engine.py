@@ -21,9 +21,10 @@ resumable checkpoint (north rule). Nothing ever ``collect()``s the frontier.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from goribot_spark import schemas
@@ -65,6 +66,12 @@ class CrawlConfig:
     hot_host_threshold: int = 10_000
     num_salts: int = 8
     max_waves: int = 64
+    # Per-wave shuffle-partition tuning: AQE can only coalesce post-shuffle,
+    # so the initial partition count still costs task-scheduling overhead on
+    # small waves (measured 2x wall on the bench crawl). Sized from the
+    # previous wave's admitted count; bounded by num_partitions.
+    auto_shuffle_partitions: bool = True
+    target_rows_per_partition: int = 2_000
 
 
 class CrawlEngine:
@@ -189,10 +196,25 @@ class CrawlEngine:
 
     def run_wave(self) -> dict:
         t0 = time.time()
+        timings: dict[str, float] = {}
+        _last = [t0]
+
+        def mark(phase: str) -> None:
+            now = time.time()
+            timings[phase] = round(now - _last[0], 2)
+            _last[0] = now
+
         cfg = self.cfg
         state = self.store.manifest["driver_state"]
         wave = self.store.last_wave() + 1
         order_cols = self._order_cols()
+
+        if cfg.auto_shuffle_partitions:
+            est = max(int(state.get("last_wave_size", 64)), 64)
+            sp = min(
+                max(4, -(-est // cfg.target_rows_per_partition)), cfg.num_partitions
+            )
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(sp))
 
         pending = resolve_rule(self.store.pending_frontier(), cfg.rules)
         rule_tokens = {int(k): v for k, v in state.get("rule_tokens", {}).items()}
@@ -209,6 +231,7 @@ class CrawlEngine:
             wave_df, cfg.num_partitions, cfg.hot_host_threshold, cfg.num_salts
         ).persist()
         scheduled = wave_df.count()
+        mark("select_wave")
         if scheduled == 0:
             wave_df.unpersist()
             return {"wave": wave, "scheduled": 0, "done": True}
@@ -282,6 +305,7 @@ class CrawlEngine:
             & F.col("handler_id").isin(H.link_emitting_ids())
         )
         cands, n_cands = build_candidates(emit_links, wave, seq_base)
+        mark("fetch_parse_rank")
         cands = apply_rule_filters(cands, cfg.rules, cfg.whitelist, cfg.max_depth)
         if self.robots is not None:
             cands = apply_robots(cands, self.robots, cfg.ua)
@@ -289,8 +313,8 @@ class CrawlEngine:
             cands = self._dedup(cands)
         remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()}
         cands = apply_max_req(cands, remaining, ["priority", "discovery_epoch", "seq"])
-        admitted = cands.persist()
-        admitted_n = admitted.count()
+        obs_adm = Observation()
+        admitted = cands.observe(obs_adm, F.count(F.lit(1)).alias("n")).persist()
 
         # Items: image refs → payload join → engine-side decode (I1-I2).
         emit_items = parsed.where(
@@ -300,6 +324,7 @@ class CrawlEngine:
         refs = emit_items.select(
             F.col("url").alias("src_url"), F.explode("image_refs").alias("image_id")
         )
+        obs_img = Observation()
         results = (
             refs.join(self.images.select("image_id", "bytes", "caption"), "image_id")
             .transform(with_decoded)
@@ -315,9 +340,9 @@ class CrawlEngine:
                 "src_url",
                 F.lit(wave).cast("int").alias("wave"),
             )
+            .observe(obs_img, F.count(F.lit(1)).alias("n"))
             .persist()
         )
-        images_n = results.count()
 
         # Per-partition lineage metrics (north rule).
         metrics = (
@@ -341,33 +366,45 @@ class CrawlEngine:
             )
         )
 
-        # Writes, then atomic manifest commit (wave invisible until commit).
-        self.store.write(
-            "consumed",
-            wave,
-            wave_df.select(
+        # Independent table writes run concurrently (separate Spark jobs);
+        # the wave stays invisible until the manifest commit below either way.
+        writes = {
+            "consumed": wave_df.select(
                 "url_hash", "retry_count", "seq", F.lit(wave).cast("int").alias("wave")
             ),
-        )
-        self.store.write(
-            "frontier",
-            wave,
-            admitted.select(*schemas.FRONTIER.fieldNames()).unionByName(
+            "frontier": admitted.select(*schemas.FRONTIER.fieldNames()).unionByName(
                 retry_rows.select(*schemas.FRONTIER.fieldNames())
             ),
-        )
+            "results": results,
+            "errors": errors,
+        }
         if cfg.dedup:
-            self.store.write("seen", wave, admitted.select("url_hash"))
-            self._bloom_commit(wave, admitted)
-        self.store.write("results", wave, results)
-        self.store.write("errors", wave, errors)
-        wall = time.time() - t0
-        metrics = metrics.unionByName(
-            self.spark.createDataFrame(
-                [(wave, -1, scheduled, 0, images_n, 0, 0, wall)], schemas.METRICS
+            writes["seen"] = admitted.select("url_hash")
+        with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+            futures = {
+                t: pool.submit(self.store.write, t, wave, df)
+                for t, df in writes.items()
+            }
+            # As soon as results lands, its row count is observable — build
+            # the wave-summary metrics row and write it while the remaining
+            # table writes still run.
+            futures["results"].result()
+            images_n = int(obs_img.get["n"])
+            wall = time.time() - t0
+            metrics = metrics.unionByName(
+                self.spark.createDataFrame(
+                    [(wave, -1, scheduled, 0, images_n, 0, 0, wall)], schemas.METRICS
+                )
             )
-        )
-        self.store.write("metrics", wave, metrics)
+            futures["metrics"] = pool.submit(self.store.write, "metrics", wave, metrics)
+            for t, fut in futures.items():
+                fut.result()
+        mark("writes")
+        if cfg.dedup:
+            self._bloom_commit(wave, admitted)
+        mark("bloom")
+        admitted_n = int(obs_adm.get["n"])
+        wall = time.time() - t0
 
         if remaining:  # only collect rule accounting when a MaxReq rule exists
             admitted_per_rule = {
@@ -386,6 +423,7 @@ class CrawlEngine:
                 "seq_base": seq_base + n_cands,
                 "max_req_remaining": remaining,
                 "rule_tokens": new_tokens,
+                "last_wave_size": admitted_n,
             }
         )
         stats = {
@@ -393,6 +431,7 @@ class CrawlEngine:
             "admitted": admitted_n,
             "images": images_n,
             "wall_sec": wall,
+            "timings": timings,
         }
         self.store.commit_wave(wave, stats, state)
         for df in (wave_df, fetch_status, parsed, admitted, results):

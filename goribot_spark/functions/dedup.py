@@ -38,21 +38,43 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 16,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3, id_col: str | None = None) -> DataFrame:
     """Add ``sig`` array<long>: per hash i, min over shingles of
-    md5_long(i || ':' || shingle). Portable (same value in DuckDB), pure
-    built-ins, computed in one projection — no shuffle."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    md5_long(i || ':' || shingle). Portable (same value in DuckDB).
 
-    def hasher(prefix: str):
-        # One-arg lambda: a two-arg lambda would be read by F.transform as
-        # the (element, index) form and silently shadow the seed.
-        return lambda s: md5_long(F.concat(F.lit(prefix), s))
+    Shape: explode distinct shingles once, hash each (i, shingle) pair, min
+    per doc. Building the shingle array inside one nested projection per
+    hash looks cheaper but Catalyst's projection collapse inlines the
+    tokenize+slice+concat pipeline ``num_hashes`` times (measured 16x
+    slowdown); the explode/groupBy form evaluates shingles once, keeps every
+    expression scalar for codegen, and is the shuffle pattern that scales —
+    only (id, shingle-hash) rows move, never texts. Docs with < n tokens get
+    an all-null signature (empty shingle set), matching array_min([]) = null.
 
-    sig = F.array(
-        *[F.array_min(F.transform(sh, hasher(f"{i}:"))) for i in range(num_hashes)]
+    With ``id_col`` set, the group key (and output) is just the id — texts
+    never enter the shuffle; otherwise all input columns are carried.
+    """
+    other_cols = [id_col] if id_col else [c for c in df.columns]
+    sh = df.select(
+        *other_cols,
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("_shingle"),
     )
-    return df.withColumn("sig", sig)
+    mins = [
+        F.min(
+            F.when(
+                F.col("_shingle").isNotNull(),
+                md5_long(F.concat(F.lit(f"{i}:"), F.col("_shingle"))),
+            )
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(*other_cols).agg(*mins)
+    return agg.select(
+        *other_cols,
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -67,7 +89,9 @@ def lsh_candidate_pairs(
     (band_id, band_key). Only (id, band, key) rows shuffle; pair explosion is
     bounded per bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
     rows_per_band = num_hashes // bands
-    sigd = minhash_signature(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    sigd = minhash_signature(
+        df.select(id_col, text_col), text_col, num_hashes, shingle_n, id_col=id_col
+    )
     banded = sigd.select(
         F.col(id_col).alias("id"),
         F.explode(

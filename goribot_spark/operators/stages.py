@@ -1,0 +1,101 @@
+"""Stock hook stages — the reference's bundled extensions as declarative
+DataFrame transforms (SURVEY.md §2.2, §2.10 U2-U4, U7).
+
+Each is a ``DataFrame -> DataFrame`` function (or a factory returning one)
+meant for ``.transform()`` composition on the wave/candidate/item frames —
+the Spark shape of goribot's ``Use(extension)`` (goribot.go:101-105). All
+column expressions are JVM built-ins; assignment "randomness" is
+deterministic hashing (reproducible runs — the reference's time-seeded
+``rand`` in extensions.go:319-321 is deliberately not reproduced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The reference ships a 137-entry UA list (extensions.go:348-485). A small
+# representative pool keeps parity of mechanism without copying the list.
+DEFAULT_UA_POOL = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 13_0) AppleWebKit/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/119.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_0 like Mac OS X) Mobile/15E148",
+]
+
+
+def random_user_agent(pool: list[str] | None = None):
+    """RandomUserAgent (extensions.go:330-346): fill ``ua`` meta when empty,
+    chosen by hash of (url, wave-ish seq) → stable per request."""
+    pool = pool or DEFAULT_UA_POOL
+    arr = F.array(*[F.lit(u) for u in pool])
+
+    def stage(df: DataFrame) -> DataFrame:
+        pick = F.element_at(arr, (F.pmod(F.xxhash64("url_hash", "seq"), len(pool)) + 1).cast("int"))
+        cur = F.coalesce(F.element_at(F.col("meta"), F.lit("ua")), F.lit(""))
+        new_meta = F.when(
+            cur == "", F.map_concat(F.coalesce("meta", F.create_map()), F.create_map(F.lit("ua"), pick))
+        ).otherwise(F.col("meta"))
+        return df.withColumn("meta", new_meta)
+
+    return stage
+
+
+def random_proxy(proxies: list[str]):
+    """RandomProxy (extensions.go:312-327): deterministic hash-based pick."""
+    arr = F.array(*[F.lit(p) for p in proxies])
+
+    def stage(df: DataFrame) -> DataFrame:
+        pick = F.element_at(arr, (F.pmod(F.xxhash64("url_hash"), len(proxies)) + 1).cast("int"))
+        return df.withColumn(
+            "meta",
+            F.map_concat(F.coalesce("meta", F.create_map()), F.create_map(F.lit("proxy"), pick)),
+        )
+
+    return stage
+
+
+def with_meta(key: str, value: str):
+    """Request.WithMeta (net.go:170-173): attach a constant k/v to every row."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "meta",
+            F.map_concat(
+                F.coalesce("meta", F.create_map()), F.create_map(F.lit(key), F.lit(value))
+            ),
+        )
+
+    return stage
+
+
+def on_json(path: str, out_col: str, body_text_col: str = "body_text"):
+    """OnJSON (goribot.go:311-320): gjson-path extraction as a column stage;
+    rows whose path is absent get null (the hook simply not firing)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(out_col, F.get_json_object(F.col(body_text_col), path))
+
+    return stage
+
+
+def host_filter(pattern: str, allow: bool = True):
+    """OnReq drop-by-host sugar (P1): keep or drop rows whose host matches."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        m = F.lower(F.col("host")).rlike(pattern)
+        return df.where(m if allow else ~m)
+
+    return stage
+
+
+def compose(*stages) -> Column:
+    """Fold stages into one transform (middleware onion, net.go:313-324 —
+    outermost-added runs first, matching AddMiddleware ordering)."""
+
+    def run(df: DataFrame) -> DataFrame:
+        for s in stages:
+            df = df.transform(s)
+        return df
+
+    return run

@@ -41,8 +41,10 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Runtime bloom-filter joins help the frontier⋉̸seen anti-join.
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # Runtime bloom-filter join injection measured net-negative on the
+        # wave supersteps (planning cost > pruning benefit at these join
+        # sizes); the engine has its own persistent Bloom layer instead.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
         # All Python crossings are Arrow-vectorized (input_hint: no per-row UDFs).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),

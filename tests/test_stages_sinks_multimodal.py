@@ -1,0 +1,140 @@
+"""Tests: stock stages (UA/proxy/meta/OnJSON/OnHTML), item sinks, and
+multimodal operators."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from goribot_spark.functions.multimodal import (
+    image_features,
+    resize_images,
+    sample_frames,
+)
+from goribot_spark.functions.pngcodec import decode_png, encode_png
+from goribot_spark.operators.selectors import on_html, select_all
+from goribot_spark.operators.stages import (
+    compose,
+    host_filter,
+    on_json,
+    random_proxy,
+    random_user_agent,
+    with_meta,
+)
+from goribot_spark.sources.sinks import save_items_csv, save_items_json
+
+
+def _frontier_like(spark):
+    rows = [
+        ("http://a.test/1", 11, "a.test", {"ua": "preset"}),
+        ("http://b.test/2", 22, "b.test", None),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, url_hash long, host string, meta map<string,string>"
+    ).withColumn("seq", F.lit(1).cast("long"))
+
+
+def test_random_ua_fills_only_empty(spark):
+    df = _frontier_like(spark).transform(random_user_agent())
+    got = {r["url"]: r["meta"].get("ua") for r in df.collect()}
+    assert got["http://a.test/1"] == "preset"  # extensions.go:335-337: keep existing
+    assert got["http://b.test/2"] and got["http://b.test/2"] != "preset"
+    # Deterministic.
+    again = {r["url"]: r["meta"].get("ua") for r in _frontier_like(spark).transform(random_user_agent()).collect()}
+    assert again == got
+
+
+def test_proxy_meta_and_compose(spark):
+    df = _frontier_like(spark).transform(
+        compose(random_proxy(["http://p1:8080", "http://p2:8080"]), with_meta("k", "v"))
+    )
+    for r in df.collect():
+        assert r["meta"]["proxy"].startswith("http://p")
+        assert r["meta"]["k"] == "v"
+
+
+def test_host_filter(spark):
+    df = _frontier_like(spark).transform(host_filter("a\\.test", allow=False))
+    assert [r["host"] for r in df.collect()] == ["b.test"]
+
+
+def test_on_json(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": 7}}',), ('{"x": 1}',)], "body_text string"
+    ).transform(on_json("$.a.b", "val"))
+    got = [r["val"] for r in df.collect()]
+    assert got == ["7", None]
+
+
+HTML = """
+<html><body>
+  <div class="item"><span class="t">first</span></div>
+  <div class="item"><span class="t">second</span></div>
+  <div id="main"><a href="/x">link</a></div>
+  <span class="t">outside</span>
+</body></html>
+"""
+
+
+def test_select_all_pure():
+    assert select_all(HTML, ".item .t") == ["first", "second"]
+    assert select_all(HTML, "span.t") == ["first", "second", "outside"]
+    assert select_all(HTML, "#main a", attr="href") == ["/x"]
+    assert select_all(None, "a") == []
+
+
+def test_on_html_stage(spark):
+    df = spark.createDataFrame([(HTML,)], "body_text string").transform(
+        on_html(".item .t", "items")
+    )
+    assert df.collect()[0]["items"] == ["first", "second"]
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("i1", bytearray(b"\x01\x02"), ["a", "b"]), ("i2", bytearray(b"\x03"), [])],
+        "id string, payload binary, tags array<string>",
+    )
+    save_items_json(df, str(tmp_path / "j"))
+    back_j = spark.read.json(str(tmp_path / "j"))
+    assert back_j.count() == 2
+    assert {r["payload"] for r in back_j.collect()} == {"0102", "03"}
+    save_items_csv(df, str(tmp_path / "c"))
+    back_c = spark.read.option("header", True).csv(str(tmp_path / "c"))
+    assert back_c.count() == 2
+
+
+def _images_df(spark, n=6):
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n):
+        px = rng.integers(0, 256, (24 + i, 30, 3), dtype=np.uint8)
+        rows.append((f"im{i}", bytearray(encode_png(px))))
+    return spark.createDataFrame(rows, "image_id string, bytes binary"), rows
+
+
+def test_resize_images(spark):
+    df, _ = _images_df(spark)
+    out = resize_images(df, 16, 16).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["error"] is None and (r["w"], r["h"]) == (16, 16)
+        px = decode_png(bytes(r["bytes"]))
+        assert px.shape == (16, 16, 3)
+    # Corrupt input → per-row error, no job failure.
+    bad = spark.createDataFrame([("x", bytearray(b"junk"))], "image_id string, bytes binary")
+    r = resize_images(bad, 8, 8).collect()[0]
+    assert r["error"] is not None and r["bytes"] is None
+
+
+def test_image_features(spark):
+    df, rows = _images_df(spark)
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    px0 = decode_png(bytes(rows[0][1])).astype(np.float64)
+    got = feats["im0"]
+    assert abs(got["mean_rgb"][0] - round(float(px0[:, :, 0].mean()), 4)) < 1e-6
+    assert got["error"] is None and got["aspect"] == round(30 / 24, 4)
+
+
+def test_sample_frames_stub(spark):
+    df = spark.createDataFrame([("v1", bytearray(b"fakevideo"))], "video_id string, bytes binary")
+    out = sample_frames(df).collect()
+    assert len(out) == 1 and "video_decode_unavailable" in out[0]["error"]
