@@ -19,12 +19,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goribot_spark.functions.dedup import (
+    exact_dup_groups,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard,
+    simhash_near_dups,
     with_simhash,
 )
-from goribot_spark.functions.similarity import ann_topk_lsh, as_double, cosine_topk
+from goribot_spark.functions.similarity import (
+    ann_topk_lsh,
+    as_double,
+    cosine_topk,
+    embedding_near_dups,
+    embedding_near_dups_exact,
+)
 from goribot_spark.functions.text import (
     fingerprint,
     lang_id,
@@ -221,6 +229,21 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact full-text dedup: hash-groupBy on the normalized-text md5
+    fingerprint (empty at SFs without verbatim dups — the semantics, group
+    size + canonical min-id, are what the oracle checks)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (the correctness baseline the
+    LSH-bucketed variant is audited against)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups_exact(e, threshold=0.45)
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 8."""
     e = _t(spark, sf_dir, "embeddings")
@@ -255,6 +278,22 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(e, e.where(F.col("vec_id") < 8), dim=64, k=5, num_planes=4)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup: the 10^10-scale path (equi-join on
+    hyperplane buckets instead of all-pairs). Recall is probabilistic →
+    rows-only check; the exact variant above is the oracled baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, dim=64, threshold=0.45, num_planes=4)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs via 4x16-bit band join + bit_count verify
+    (complete for hamming<=3 by pigeonhole). SimHash bit mixing is a pandas
+    UDF → rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -280,11 +319,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_groups": q_dedup_prefix_groups,
         "minhash_sig_groups": q_minhash_sig_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "exact_dup_groups": q_exact_dup_groups,
+        "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "emb_norms": q_emb_norms,
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh": q_ann_lsh,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
     }
 
 
@@ -433,6 +476,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig_groups": _MINHASH_SQL,
         "ngram_jaccard_pairs": _JACCARD_SQL,
+        "exact_dup_groups": """
+            with fp as (
+              select doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) fp
+              from documents
+            )
+            select fp, count(*) n_dups, min(doc_id) canonical_id
+            from fp group by fp having count(*) > 1
+        """,
+        "embedding_neardup": """
+            with e as (select vec_id, embedding::DOUBLE[] v from embeddings)
+            select a.vec_id id_a, b.vec_id id_b,
+              round(list_cosine_similarity(a.v, b.v), 4) sim
+            from e a join e b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
         "ann_topk": """
             with q as (select vec_id query_id, embedding::DOUBLE[] qv
                        from embeddings where vec_id < 8),

@@ -24,7 +24,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goribot_spark import schemas
@@ -313,8 +313,7 @@ class CrawlEngine:
             cands = self._dedup(cands)
         remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()}
         cands = apply_max_req(cands, remaining, ["priority", "discovery_epoch", "seq"])
-        obs_adm = Observation()
-        admitted = cands.observe(obs_adm, F.count(F.lit(1)).alias("n")).persist()
+        admitted = cands.persist()
 
         # Items: image refs → payload join → engine-side decode (I1-I2).
         emit_items = parsed.where(
@@ -324,7 +323,6 @@ class CrawlEngine:
         refs = emit_items.select(
             F.col("url").alias("src_url"), F.explode("image_refs").alias("image_id")
         )
-        obs_img = Observation()
         results = (
             refs.join(self.images.select("image_id", "bytes", "caption"), "image_id")
             .transform(with_decoded)
@@ -340,7 +338,6 @@ class CrawlEngine:
                 "src_url",
                 F.lit(wave).cast("int").alias("wave"),
             )
-            .observe(obs_img, F.count(F.lit(1)).alias("n"))
             .persist()
         )
 
@@ -389,7 +386,7 @@ class CrawlEngine:
             # the wave-summary metrics row and write it while the remaining
             # table writes still run.
             futures["results"].result()
-            images_n = int(obs_img.get["n"])
+            images_n = results.count()  # cache-read: results is persisted
             wall = time.time() - t0
             metrics = metrics.unionByName(
                 self.spark.createDataFrame(
@@ -403,7 +400,7 @@ class CrawlEngine:
         if cfg.dedup:
             self._bloom_commit(wave, admitted)
         mark("bloom")
-        admitted_n = int(obs_adm.get["n"])
+        admitted_n = admitted.count()  # cache-read: admitted is persisted
         wall = time.time() - t0
 
         if remaining:  # only collect rule accounting when a MaxReq rule exists

@@ -192,3 +192,50 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit simhash into 4x16-bit bands
+    and self-join on (band_id, band_value) — by pigeonhole, any pair with
+    hamming distance <= 3 shares at least one of 4 bands — then verify with
+    ``bit_count(a XOR b) <= max_hamming`` JVM-side. Only (id, band) rows
+    shuffle, never texts; per-band buckets bound the pair explosion the same
+    way LSH bands do. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    sh = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    banded = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band_id", "bk.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

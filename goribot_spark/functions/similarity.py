@@ -169,3 +169,30 @@ def embedding_near_dups(
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+def embedding_near_dups_exact(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all-pairs self-join with
+    cosine >= threshold. O(N^2) — the correctness baseline the LSH variant
+    (``embedding_near_dups``) is verified against; at corpus scale use the
+    LSH path and keep this for sampled recall audits.
+
+    Returns (id_a, id_b, sim) with id_a < id_b, sim rounded to 4 dp."""
+    n = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
