@@ -26,22 +26,35 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Wide, shallow graph (~27k pages over 220 hosts, 5 BFS levels): a
+# production frontier is wide — waves of thousands of URLs — so the bench
+# measures wave *throughput*, not driver iteration latency. A deep narrow
+# graph (e.g. depth 6, 20 hosts) measures the opposite regime: many small
+# latency-bound waves; see BENCH/BASELINE.md for the distinction.
 BENCH_FX = os.environ.get("SPARK_GRAFT_BENCH_FX", "/tmp/goribot_bench_fx")
-BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "20"))
-BENCH_DEPTH = int(os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "6"))
-BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4096"))
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "220"))
+BENCH_DEPTH = int(os.environ.get("SPARK_GRAFT_BENCH_DEPTH", "4"))
+BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "8192"))
+BENCH_MAX_REFS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REFS", "5"))
+BENCH_FLAKY = float(os.environ.get("SPARK_GRAFT_BENCH_FLAKY", "0.05"))
 
 
 def ensure_bench_fixture() -> str:
     marker = os.path.join(
-        BENCH_FX, f"ok_{BENCH_HOSTS}_{BENCH_DEPTH}_{BENCH_IMAGES}"
+        BENCH_FX,
+        f"ok_{BENCH_HOSTS}_{BENCH_DEPTH}_{BENCH_IMAGES}_{BENCH_MAX_REFS}_{BENCH_FLAKY}",
     )
     if not os.path.exists(marker):
         shutil.rmtree(BENCH_FX, ignore_errors=True)
         from goribot_spark.sources.fixtures import generate_all
 
         generate_all(
-            BENCH_FX, n_hosts=BENCH_HOSTS, depth=BENCH_DEPTH, n_images=BENCH_IMAGES
+            BENCH_FX,
+            n_hosts=BENCH_HOSTS,
+            depth=BENCH_DEPTH,
+            n_images=BENCH_IMAGES,
+            max_refs=BENCH_MAX_REFS,
+            flaky_frac=BENCH_FLAKY,
         )
         open(marker, "w").close()
     return BENCH_FX
@@ -53,7 +66,7 @@ def bench_crawl(spark) -> dict:
     from goribot_spark.engine import CrawlConfig, CrawlEngine
 
     fx = ensure_bench_fixture()
-    run_dir = "/tmp/goribot_bench_run"
+    run_dir = os.environ.get("SPARK_GRAFT_BENCH_RUN_DIR", "/tmp/goribot_bench_run")
     shutil.rmtree(run_dir, ignore_errors=True)
     seeds = [f"http://site{s}.test/p/0" for s in range(BENCH_HOSTS)]
     # max_waves is a safety cap, not the expected count: BFS depth+1 waves
@@ -98,7 +111,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     crawl = bench_crawl(spark)
-    queries = bench_queries(spark, sf_dir)
+    # SPARK_GRAFT_SKIP_QUERIES=1 → crawl-only (used by the scaling bench,
+    # whose criterion concerns the crawl job).
+    skip_q = os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
+    queries = {} if skip_q else bench_queries(spark, sf_dir)
     total = time.time() - t0
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(

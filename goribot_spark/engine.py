@@ -71,7 +71,7 @@ class CrawlConfig:
     # small waves (measured 2x wall on the bench crawl). Sized from the
     # previous wave's admitted count; bounded by num_partitions.
     auto_shuffle_partitions: bool = True
-    target_rows_per_partition: int = 2_000
+    target_rows_per_partition: int = 500
 
 
 class CrawlEngine:
@@ -89,17 +89,36 @@ class CrawlEngine:
                 r.rule_id = i
         self.store = CrawlStore(spark, run_dir)
         self.store.rollback_uncommitted()
-        self.pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
-        self.images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
+        if self.cfg.num_partitions is None:
+            self.cfg.num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        # Pre-partition the synthetic web by the join key ONCE and cache:
+        # every wave's fetch join then shuffles only the (body-less) wave
+        # side — the page bodies never re-enter shuffle disk. This is the
+        # sandbox analog of a bucketed / storage-partitioned fetch join
+        # (SCALE.md §1); on a real crawl the fetch is mapInPandas HTTP and
+        # no pages table exists at all.
+        self.pages = (
+            spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+            .repartition(self.cfg.num_partitions, "url_hash")
+            .persist()
+        )
+        # Same treatment for the payload table: cache it hash-partitioned by
+        # its join key, so the per-wave refs⋈images join shuffles only the
+        # tiny (src_url, image_id) refs side — payload bytes never move, and
+        # nothing is re-broadcast per wave (per-wave broadcasts of the
+        # payload measurably accumulate driver garbage over long crawls).
+        self.images = (
+            spark.read.parquet(f"{fixtures_dir}/images.parquet")
+            .repartition(self.cfg.num_partitions, "image_id")
+            .persist()
+        )
         self.robots = (
             spark.read.parquet(f"{fixtures_dir}/robots_rules.parquet")
             if self.cfg.robots
             else None
         )
-        if self.cfg.num_partitions is None:
-            self.cfg.num_partitions = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "32")
-            )
         self._bloom = (
             self.store.load_bloom_union()
             if (self.cfg.dedup and self.cfg.use_bloom)
@@ -166,9 +185,11 @@ class CrawlEngine:
         df = df.drop("rule_id").persist()
         n = df.count()
         wave = self.store.last_wave() + 1
-        self.store.write("frontier", wave, df.select(*schemas.FRONTIER.fieldNames()))
+        self.store.write(
+            "frontier", wave, df.select(*schemas.FRONTIER.fieldNames()).coalesce(1)
+        )
         if self.cfg.dedup:
-            self.store.write("seen", wave, df.select("url_hash"))
+            self.store.write("seen", wave, df.select("url_hash").coalesce(1))
             self._bloom_commit(wave, df)
         admitted_per_rule = {
             row["rule_id"]: row["n"]
@@ -209,6 +230,14 @@ class CrawlEngine:
         wave = self.store.last_wave() + 1
         order_cols = self._order_cols()
 
+        # Per-wave partition sizing: EVERY stage of this wave (politeness
+        # shuffle, salt repartition, parse, decode, writes) runs at `sp`
+        # partitions, sized from the previous wave's admitted count and
+        # capped at num_partitions. A fixed count would make small waves
+        # schedule num_partitions empty UDF tasks per stage — measured to
+        # make local[32] *slower* than local[8] on the drain tail, since
+        # task scheduling is single-threaded on the driver.
+        sp = cfg.num_partitions
         if cfg.auto_shuffle_partitions:
             est = max(int(state.get("last_wave_size", 64)), 64)
             sp = min(
@@ -227,13 +256,20 @@ class CrawlEngine:
             cfg.parallelism_factor,
             cfg.wave_budget,
         )
+        # localCheckpoint (not persist): besides caching, it TRUNCATES the
+        # logical plan to an RDD scan. A wave touches each intermediate with
+        # ~10 actions; with full lineage each action re-runs Catalyst over
+        # the whole deep wave plan (which also grows with the frontier's
+        # wave-dir count) — measured as a multi-second per-wave floor on the
+        # drain tail. Cluster note: local checkpoints don't survive executor
+        # loss; a real deployment reliability-checkpoints via the per-wave
+        # table writes (which ARE the recovery points, store.commit_wave).
         wave_df = salt_and_partition(
-            wave_df, cfg.num_partitions, cfg.hot_host_threshold, cfg.num_salts
-        ).persist()
+            wave_df, sp, cfg.hot_host_threshold, cfg.num_salts
+        ).localCheckpoint(eager=True)
         scheduled = wave_df.count()
         mark("select_wave")
         if scheduled == 0:
-            wave_df.unpersist()
             return {"wave": wave, "scheduled": 0, "done": True}
 
         # Synthetic fetch (J5): status resolution incl. flaky-page retries.
@@ -251,12 +287,13 @@ class CrawlEngine:
             .otherwise(F.col("_pstatus")),
         )
         ok = F.col("status").isin(list(cfg.okcodes))
-        # Slim persisted status frame: retry/error/metrics paths reuse it
-        # without re-running the fetch join (bodies stay out of the cache).
+        # Slim checkpointed status frame: retry/error/metrics paths reuse it
+        # without re-running the fetch join (bodies stay out of the cache);
+        # lazy checkpoints materialize below in the parallel count jobs.
         fetch_status = fetched.select(
             *schemas.FRONTIER.fieldNames(), "status"
-        ).persist()
-        parsed = with_parsed(fetched.where(ok)).persist()
+        ).localCheckpoint(eager=False)
+        parsed = with_parsed(fetched.where(ok)).localCheckpoint(eager=False)
 
         # R1/R2 retry routing + terminal errors.
         failed = fetch_status.where(~ok | F.col("status").isNull())
@@ -304,7 +341,8 @@ class CrawlEngine:
             F.col("parse_error").isNull()
             & F.col("handler_id").isin(H.link_emitting_ids())
         )
-        cands, n_cands = build_candidates(emit_links, wave, seq_base)
+        wave_caches: list = []
+        cands, n_cands = build_candidates(emit_links, wave, seq_base, wave_caches)
         mark("fetch_parse_rank")
         cands = apply_rule_filters(cands, cfg.rules, cfg.whitelist, cfg.max_depth)
         if self.robots is not None:
@@ -313,7 +351,7 @@ class CrawlEngine:
             cands = self._dedup(cands)
         remaining = {int(k): v for k, v in state.get("max_req_remaining", {}).items()}
         cands = apply_max_req(cands, remaining, ["priority", "discovery_epoch", "seq"])
-        admitted = cands.persist()
+        admitted = cands.localCheckpoint(eager=False)
 
         # Items: image refs → payload join → engine-side decode (I1-I2).
         emit_items = parsed.where(
@@ -323,6 +361,12 @@ class CrawlEngine:
         refs = emit_items.select(
             F.col("url").alias("src_url"), F.explode("image_refs").alias("image_id")
         )
+        # The images table is the sandbox's stand-in for the network (a real
+        # deployment fetches bytes inside mapInPandas, no join at all); its
+        # cached url-key partitioning means this join exchanges only the
+        # refs side — payload bytes never hit shuffle disk, which would
+        # otherwise saturate single-node I/O and cap scaling. Decode runs in
+        # the join's reduce stage at the cache's partition count.
         results = (
             refs.join(self.images.select("image_id", "bytes", "caption"), "image_id")
             .transform(with_decoded)
@@ -338,8 +382,11 @@ class CrawlEngine:
                 "src_url",
                 F.lit(wave).cast("int").alias("wave"),
             )
-            .persist()
         )
+        # results is intentionally NOT cached/checkpointed: it is written
+        # exactly once below (decode runs inside the write stage at full
+        # parallelism) and never re-read within the loop — holding GBs of
+        # payload rows in the block manager only added GC pressure.
 
         # Per-partition lineage metrics (north rule).
         metrics = (
@@ -363,44 +410,59 @@ class CrawlEngine:
             )
         )
 
-        # Independent table writes run concurrently (separate Spark jobs);
-        # the wave stays invisible until the manifest commit below either way.
+        # Materialize the persisted frames first, at full stage parallelism
+        # (concurrent count jobs), THEN write from cache with a small file
+        # count: compute parallelism and output file count are decoupled, so
+        # higher core counts never multiply the small files that every later
+        # wave's frontier/seen reads re-list. (Iceberg would get the same
+        # effect from write targets + compaction.)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_adm = pool.submit(admitted.count)
+            f_fs = pool.submit(fetch_status.count)
+            admitted_n, _ = f_adm.result(), f_fs.result()
+        mark("materialize")
+        small_files = max(1, sp // 8)
         writes = {
+            # results: uncoalesced — decode executes inside this write stage
+            # at sp-partition parallelism; results is append-only output,
+            # never re-read by the wave loop, so its file count is harmless.
+            "results": results,
             "consumed": wave_df.select(
                 "url_hash", "retry_count", "seq", F.lit(wave).cast("int").alias("wave")
-            ),
-            "frontier": admitted.select(*schemas.FRONTIER.fieldNames()).unionByName(
-                retry_rows.select(*schemas.FRONTIER.fieldNames())
-            ),
-            "results": results,
-            "errors": errors,
+            ).coalesce(small_files),
+            "frontier": admitted.select(*schemas.FRONTIER.fieldNames())
+            .unionByName(retry_rows.select(*schemas.FRONTIER.fieldNames()))
+            .coalesce(small_files),
+            "errors": errors.coalesce(1),
         }
         if cfg.dedup:
-            writes["seen"] = admitted.select("url_hash")
+            writes["seen"] = admitted.select("url_hash").coalesce(small_files)
         with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
             futures = {
                 t: pool.submit(self.store.write, t, wave, df)
                 for t, df in writes.items()
             }
-            # As soon as results lands, its row count is observable — build
-            # the wave-summary metrics row and write it while the remaining
-            # table writes still run.
             futures["results"].result()
-            images_n = results.count()  # cache-read: results is persisted
+            # Row count via parquet footer metadata of what was just written
+            # (count(*) pushdown — no data scan, no second decode pass).
+            images_n = self.spark.read.parquet(
+                self.store._wave_dir("results", wave)
+            ).count()
             wall = time.time() - t0
             metrics = metrics.unionByName(
                 self.spark.createDataFrame(
                     [(wave, -1, scheduled, 0, images_n, 0, 0, wall)], schemas.METRICS
                 )
             )
-            futures["metrics"] = pool.submit(self.store.write, "metrics", wave, metrics)
+            futures["metrics"] = pool.submit(
+                self.store.write, "metrics", wave, metrics.coalesce(1)
+            )
             for t, fut in futures.items():
                 fut.result()
         mark("writes")
         if cfg.dedup:
             self._bloom_commit(wave, admitted)
         mark("bloom")
-        admitted_n = admitted.count()  # cache-read: admitted is persisted
         wall = time.time() - t0
 
         if remaining:  # only collect rule accounting when a MaxReq rule exists
@@ -431,10 +493,11 @@ class CrawlEngine:
             "timings": timings,
         }
         self.store.commit_wave(wave, stats, state)
-        for df in (wave_df, fetch_status, parsed, admitted, results):
+        for df in wave_caches:
             df.unpersist()
-        # Drop stragglers (e.g. the global-rank range-partitioned cache).
-        self.spark.catalog.clearCache()
+        # Checkpointed wave frames (wave_df, fetch_status, parsed, admitted,
+        # results) release their blocks via the ContextCleaner once the
+        # driver references drop; session.py shortens periodicGC for that.
         return {"wave": wave, "done": False, **stats}
 
     # -- the driver loop (goribot.go:227-248) ------------------------------

@@ -121,18 +121,31 @@ def phash64(pixels: np.ndarray) -> int:
     """
     gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
-    ys = (np.arange(9) * h // 9, (np.arange(9) + 1) * h // 9)
-    xs = (np.arange(10) * w // 10, (np.arange(10) + 1) * w // 10)
-    small = np.empty((8, 9))
-    for r in range(8):
-        y0, y1 = ys[0][r], max(ys[1][r], ys[0][r] + 1)
-        for c in range(9):
-            x0, x1 = xs[0][c], max(xs[1][c], xs[0][c] + 1)
-            small[r, c] = gray[y0:y1, x0:x1].mean()
+    if h >= 9 and w >= 10:
+        # Box means via two reduceat passes (row segments then column
+        # segments) — one vectorized pass instead of 72 python-level
+        # slice.mean() calls (the slice form measured 0.8 ms/image, ~4x the
+        # PNG decode itself).
+        ys0 = np.arange(9) * h // 9
+        xs0 = np.arange(10) * w // 10
+        # Segment r of reduceat(ys0) spans ys0[r]..ys0[r+1] for r<8 — the
+        # original box bounds exactly; the trailing segment (to h / to w) is
+        # sliced away.
+        row_sums = np.add.reduceat(gray, ys0, axis=0)[:8]
+        box_sums = np.add.reduceat(row_sums, xs0, axis=1)[:, :9]
+        counts = np.outer(np.diff(ys0), np.diff(xs0)).astype(np.float64)
+        small = box_sums / counts
+    else:
+        ys = (np.arange(9) * h // 9, (np.arange(9) + 1) * h // 9)
+        xs = (np.arange(10) * w // 10, (np.arange(10) + 1) * w // 10)
+        small = np.empty((8, 9))
+        for r in range(8):
+            y0, y1 = ys[0][r], max(ys[1][r], ys[0][r] + 1)
+            for c in range(9):
+                x0, x1 = xs[0][c], max(xs[1][c], xs[0][c] + 1)
+                small[r, c] = gray[y0:y1, x0:x1].mean()
     bits = (small[:, 1:] > small[:, :-1]).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -112,35 +112,39 @@ def apply_robots(df: DataFrame, robots: DataFrame | None, ua: str) -> DataFrame:
     """
     if robots is None:
         return df
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    cand = df.withColumn("_path", path)
-    j = cand.join(F.broadcast(robots), on="host", how="left")
-    applicable = (
-        F.col("path_prefix").isNotNull()
-        & ((F.col("ua") == F.lit("*")) | (F.col("ua") == F.lit(ua)))
-        & F.col("_path").startswith(F.col("path_prefix"))
+    # Rules collapse to ONE struct-array row per host (config-scale), so the
+    # broadcast join never multiplies candidate rows and the whole decision
+    # is row-local higher-order-function work — zero shuffle of candidates
+    # (the previous groupBy-by-seq re-aggregation shuffled the full wave).
+    rules_per_host = robots.groupBy("host").agg(
+        F.collect_list(F.struct("path_prefix", "ua", "allow")).alias("_robot_rules")
     )
-    # max over struct(prefix_len, ua_specific, allow): longest prefix wins,
-    # then specific-UA over '*', then allow over disallow.
-    decision_struct = F.when(
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    j = df.withColumn("_path", path).join(
+        F.broadcast(rules_per_host), on="host", how="left"
+    )
+    applicable = F.filter(
+        F.col("_robot_rules"),
+        lambda r: ((r["ua"] == F.lit("*")) | (r["ua"] == F.lit(ua)))
+        & F.col("_path").startswith(r["path_prefix"]),
+    )
+    # sort desc over struct(prefix_len, ua_specific, allow): longest prefix
+    # wins, then specific-UA over '*', then allow over disallow. Null rules
+    # array (host without rules) propagates to null best → allowed.
+    decs = F.transform(
         applicable,
-        F.struct(
-            F.length("path_prefix").alias("plen"),
-            (F.col("ua") != F.lit("*")).cast("int").alias("spec"),
-            F.col("allow").alias("allow"),
+        lambda r: F.struct(
+            F.length(r["path_prefix"]).alias("plen"),
+            (r["ua"] != F.lit("*")).cast("int").alias("spec"),
+            r["allow"].alias("allow"),
         ),
     )
-    keep_cols = [c for c in df.columns]
-    agg = [F.first(c).alias(c) for c in keep_cols if c != "seq"] + [
-        F.max(decision_struct).alias("_dec")
-    ]
-    out = (
-        j.groupBy("seq")
-        .agg(*agg)
+    best = F.get(F.sort_array(decs, asc=False), 0)
+    return (
+        j.withColumn("_dec", best)
         .where(F.col("_dec").isNull() | F.col("_dec.allow"))
-        .drop("_dec")
+        .select(*df.columns)
     )
-    return out.select(*keep_cols)
 
 
 def dedup_against_seen(

@@ -47,7 +47,9 @@ def host_of_udf(url: pd.Series) -> pd.Series:
     return url.map(_host)
 
 
-def build_candidates(fetched: DataFrame, wave: int, seq_base: int):
+def build_candidates(
+    fetched: DataFrame, wave: int, seq_base: int, cache_registry: list | None = None
+):
     """Fetched+parsed wave → FRONTIER-schema candidate rows (pre-admission).
 
     Returns (candidates_df, n_candidates); seq values occupy
@@ -76,6 +78,7 @@ def build_candidates(fetched: DataFrame, wave: int, seq_base: int):
         out_col="seq",
         base=seq_base,
         return_total=True,
+        cache_registry=cache_registry,
     )
     return ranked.select(
         "url",

@@ -40,6 +40,7 @@ def with_global_rank(
     base: int = 0,
     num_partitions: int | None = None,
     return_total: bool = False,
+    cache_registry: list | None = None,
 ):
     """Deterministic 0-based global rank by ``keys`` (must be a total order),
     without a single-partition sort: rank = intra-partition row_number +
@@ -56,6 +57,10 @@ def with_global_rank(
         .withColumn("_pid", F.spark_partition_id())
     )
     s = s.persist()
+    if cache_registry is not None:
+        # The output plan reads this cache lazily; the caller unpersists it
+        # once downstream frames are materialized (engine wave teardown).
+        cache_registry.append(s)
     counts = {r["_pid"]: r["count"] for r in s.groupBy("_pid").count().collect()}
     offsets: dict[int, int] = {}
     acc = 0

@@ -63,21 +63,28 @@ def select_wave(
     """
     new_tokens: dict[int, float] = {}
     cap_expr = F.lit(None).cast("long")
+    any_cap = False
     for r in rules:
         cap, tok = rule_wave_cap(
             r, window_sec, rule_tokens.get(r.rule_id, 0.0), parallelism_factor
         )
         new_tokens[r.rule_id] = tok
         if cap is not None:
+            any_cap = True
             cap_expr = F.when(F.col("rule_id") == r.rule_id, F.lit(cap)).otherwise(cap_expr)
 
-    w_host = Window.partitionBy("host").orderBy(*order_cols)
-    wave = (
-        pending.withColumn("_host_rank", F.row_number().over(w_host))
-        .withColumn("_cap", cap_expr)
-        .where(F.col("_cap").isNull() | (F.col("_host_rank") <= F.col("_cap")))
-        .drop("_host_rank", "_cap")
-    )
+    if any_cap:
+        w_host = Window.partitionBy("host").orderBy(*order_cols)
+        wave = (
+            pending.withColumn("_host_rank", F.row_number().over(w_host))
+            .withColumn("_cap", cap_expr)
+            .where(F.col("_cap").isNull() | (F.col("_host_rank") <= F.col("_cap")))
+            .drop("_host_rank", "_cap")
+        )
+    else:
+        # No per-host budget anywhere → the whole pending set is the wave;
+        # skipping the window saves a full shuffle+sort per superstep.
+        wave = pending
     if wave_budget is not None:
         # Global top-k via sort+limit (TakeOrderedAndProject — no
         # single-partition window).
@@ -99,13 +106,21 @@ def salt_and_partition(
     budget already enforced globally upstream. AQE skew-join handles residual
     imbalance.
     """
-    w = Window.partitionBy("host")
-    wave = wave.withColumn("_host_n", F.count(F.lit(1)).over(w))
+    # Hot-host detection via groupBy (map-side partial agg → only per-host
+    # counts shuffle) + broadcast join back, instead of a count-over-window
+    # that would shuffle the full wave an extra time before the repartition.
+    hot = (
+        wave.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_host_n"))
+        .where(F.col("_host_n") > hot_host_threshold)
+        .select("host", F.lit(True).alias("_hot"))
+    )
+    wave = wave.join(F.broadcast(hot), on="host", how="left")
     wave = wave.withColumn(
         "host_salt",
         F.when(
-            F.col("_host_n") > hot_host_threshold,
+            F.col("_hot"),
             F.concat(F.col("host"), F.lit("#"), F.pmod(F.xxhash64("url"), F.lit(num_salts))),
         ).otherwise(F.col("host")),
-    ).drop("_host_n")
+    ).drop("_hot")
     return wave.repartition(num_partitions, "host_salt")

@@ -52,6 +52,10 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Quieter local runs.
         "spark.ui.enabled": "false",
+        # Wave frames are localCheckpoint'ed (lineage truncation); their
+        # blocks free via ContextCleaner on JVM GC — keep that timely for
+        # long crawls.
+        "spark.cleaner.periodicGC.interval": "5min",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:

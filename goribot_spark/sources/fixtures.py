@@ -105,6 +105,8 @@ def generate_pages(
     depth: int = 4,
     n_images: int = 256,
     seed: int = 42,
+    max_refs: int = 3,
+    flaky_frac: float = 0.05,
 ) -> pa.Table:
     """Synthetic web graph. site0.test is the hot host (fanout 4 vs 3) for skew.
 
@@ -153,7 +155,9 @@ def generate_pages(
             # Occasional cross-host edge to the next host's root.
             if k % 17 == 3 and n_hosts > 1:
                 hrefs.append(_page_url(f"site{(s + 1) % n_hosts}.test", 0))
-            img_ids = [f"img-{(gpi * 3 + t) % n_images:08d}" for t in range(1 + k % 3)]
+            img_ids = [
+                f"img-{(gpi * 3 + t) % n_images:08d}" for t in range(1 + k % max_refs)
+            ]
             title = f"{host} page {k}"
             is_json = k % 23 == 7
             is_gbk = (not is_json) and k % 29 == 11
@@ -176,7 +180,7 @@ def generate_pages(
             gz = bool(rng.random() < 0.10)
             if gz:
                 body = gzip.compress(body, 6)
-            fail_times = 2 if rng.random() < 0.05 else 0
+            fail_times = 2 if rng.random() < flaky_frac else 0
             cols["url"].append(url)
             cols["url_hash"].append(url_hash(url))
             cols["host"].append(host)
@@ -254,12 +258,14 @@ def generate_all(
     depth: int = 4,
     n_images: int = 256,
     seed: int = 42,
+    max_refs: int = 3,
+    flaky_frac: float = 0.05,
 ) -> dict[str, str]:
     os.makedirs(outdir, exist_ok=True)
     paths = {}
     for name, table in (
         ("images", generate_images(n_images, seed)),
-        ("pages", generate_pages(n_hosts, depth, n_images, seed)),
+        ("pages", generate_pages(n_hosts, depth, n_images, seed, max_refs, flaky_frac)),
         ("robots_rules", generate_robots(n_hosts)),
         ("seeds", generate_seeds(n_hosts)),
     ):
