@@ -66,7 +66,10 @@ def bench_crawl(spark) -> dict:
     from goribot_spark.engine import CrawlConfig, CrawlEngine
 
     fx = ensure_bench_fixture()
-    run_dir = os.environ.get("SPARK_GRAFT_BENCH_RUN_DIR", "/tmp/goribot_bench_run")
+    run_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_RUN_DIR",
+        "/dev/shm/goribot_bench_run" if os.path.isdir("/dev/shm") else "/tmp/goribot_bench_run",
+    )
     shutil.rmtree(run_dir, ignore_errors=True)
     seeds = [f"http://site{s}.test/p/0" for s in range(BENCH_HOSTS)]
     # max_waves is a safety cap, not the expected count: BFS depth+1 waves
@@ -105,6 +108,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Shuffle on tmpfs (must be set before the JVM starts): single-node
+    # stand-in for per-executor local disks (BENCH/BASELINE.md).
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/goribot_spark_local"
     from goribot_spark.session import get_spark
 
     spark = get_spark(app_name="goribot-bench")

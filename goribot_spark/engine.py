@@ -421,7 +421,12 @@ class CrawlEngine:
             f_fs = pool.submit(fetch_status.count)
             admitted_n, _ = f_adm.result(), f_fs.result()
         mark("materialize")
-        small_files = max(1, sp // 8)
+        # File counts sized from the (now known) row counts: enough tasks to
+        # keep big writes parallel, 1 file on the drain tail — the re-read
+        # tables never accumulate per-core file explosions either way.
+        def _nfiles(rows: int, rows_per_file: int = 250_000) -> int:
+            return min(sp, max(1, -(-rows // rows_per_file)))
+
         writes = {
             # results: uncoalesced — decode executes inside this write stage
             # at sp-partition parallelism; results is append-only output,
@@ -429,14 +434,14 @@ class CrawlEngine:
             "results": results,
             "consumed": wave_df.select(
                 "url_hash", "retry_count", "seq", F.lit(wave).cast("int").alias("wave")
-            ).coalesce(small_files),
+            ).coalesce(_nfiles(scheduled)),
             "frontier": admitted.select(*schemas.FRONTIER.fieldNames())
             .unionByName(retry_rows.select(*schemas.FRONTIER.fieldNames()))
-            .coalesce(small_files),
+            .coalesce(_nfiles(admitted_n)),
             "errors": errors.coalesce(1),
         }
         if cfg.dedup:
-            writes["seen"] = admitted.select("url_hash").coalesce(small_files)
+            writes["seen"] = admitted.select("url_hash").coalesce(_nfiles(admitted_n))
         with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
             futures = {
                 t: pool.submit(self.store.write, t, wave, df)
