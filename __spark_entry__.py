@@ -5,10 +5,11 @@
 metrics, joins, retry routing) over the driver's TPC-H-ish tables, plus the
 training-data pipeline operators (exact/MinHash/n-gram dedup, text features,
 ANN similarity) over ``documents``/``embeddings``. Each has a DuckDB oracle
-in ``oracle_sql()`` with byte-matching column aliases; genuinely
-non-SQL-expressible ops (SimHash bit mixing, LSH ANN recall path) are
-rows-only entries. The crawl superstep engine itself (iterative state) is
-exercised by pytest + bench.py on the synthetic web fixtures.
+in ``oracle_sql()`` with byte-matching column aliases — including the
+LSH/simhash paths, whose md5-derived band/bucket math is deterministic and
+reproduced in DuckDB bit-for-bit. The crawl superstep engine itself
+(iterative state) is exercised by pytest + bench.py on the synthetic web
+fixtures.
 """
 
 from __future__ import annotations
@@ -199,8 +200,18 @@ def q_minhash_sig_groups(spark, sf_dir):
     )
 
 
+# Self-join buckets larger than this are dropped from the fp8 candidate
+# generator: on a real corpus a boilerplate prefix ("Terms of Service …")
+# puts millions of docs in one bucket → a quadratic skew bomb. Overfull
+# buckets are rare by construction (they ARE the skew), so the exclusion
+# list broadcasts; near-dups inside them are still found by the MinHash-LSH
+# path (q_minhash_lsh_pairs), whose banded join bounds every bucket.
+FP8_BUCKET_CAP = 64
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard over prefix-fingerprint candidate pairs."""
+    """Exact n-gram Jaccard over prefix-fingerprint candidate pairs, with
+    overfull buckets excluded (see FP8_BUCKET_CAP)."""
     d = _t(spark, sf_dir, "documents")
     fp8 = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
     sh = d.select(
@@ -208,6 +219,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         fp8.alias("fp8"),
         F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
     )
+    over = (
+        sh.groupBy("fp8")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > FP8_BUCKET_CAP)
+        .select("fp8")
+    )
+    sh = sh.join(F.broadcast(over), "fp8", "left_anti")
     a = sh.select(
         F.col("fp8"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
     )
@@ -238,9 +256,21 @@ def q_exact_dup_groups(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (the correctness baseline the
-    LSH-bucketed variant is audited against)."""
+    """Embedding-cosine near-dup pairs — the first-class SCALE path: LSH
+    hyperplane bucketing + exact cosine verify within buckets (equi-join on
+    the bucket key, never an all-pairs cross join). The md5-derived
+    hyperplanes are deterministic, so the DuckDB oracle reproduces the exact
+    candidate set and verdicts."""
     e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, dim=64, threshold=0.45, num_planes=4)
+
+
+def q_embedding_neardup_exact_audit(spark, sf_dir):
+    """Exact all-pairs baseline, capped to a deterministic 1/4 sample
+    (vec_id % 4 == 0): the recall-audit twin of q_embedding_neardup. The
+    cross join is intentional — it runs on the sampled subset only, never on
+    the full corpus (no cartesian product in any default full-table plan)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
     return embedding_near_dups_exact(e, threshold=0.45)
 
 
@@ -257,39 +287,36 @@ def q_emb_norms(spark, sf_dir):
     return e.select("vec_id", "label", F.round(norm, 4).alias("norm"))
 
 
-# -- rows-only (non-SQL-expressible) ---------------------------------------
+# -- LSH / simhash paths (deterministic md5 math → fully oracled) -----------
 
 
 def q_simhash_docs(spark, sf_dir):
+    """Per-doc 64-bit SimHash (vectorized pandas UDF); the per-token md5 bit
+    accumulation is reproduced in DuckDB bit-for-bit (_SIMHASH_SQL)."""
     d = _t(spark, sf_dir, "documents")
     return with_simhash(d.select("doc_id", "text")).select("doc_id", "simhash")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Full MinHash-LSH near-dup pipeline (candidate recall is probabilistic
-    → rows-only check; the deterministic cores are oracled above)."""
+    """Full MinHash-LSH near-dup pipeline: banded-signature candidate join +
+    exact Jaccard verify. The minhash bands are deterministic md5 math, so
+    the 'probabilistic' recall is a fixed function of the data — DuckDB
+    reproduces the identical candidate set and verdicts."""
     d = _t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
     return ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.5)
 
 
 def q_ann_lsh(spark, sf_dir):
+    """ANN top-k via hyperplane-bucket equi-join (the scale path; buckets
+    from deterministic md5-parity hyperplanes, oracled in DuckDB)."""
     e = _t(spark, sf_dir, "embeddings")
     return ann_topk_lsh(e, e.where(F.col("vec_id") < 8), dim=64, k=5, num_planes=4)
 
 
-def q_embedding_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed embedding near-dup: the 10^10-scale path (equi-join on
-    hyperplane buckets instead of all-pairs). Recall is probabilistic →
-    rows-only check; the exact variant above is the oracled baseline."""
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, dim=64, threshold=0.45, num_planes=4)
-
-
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs via 4x16-bit band join + bit_count verify
-    (complete for hamming<=3 by pigeonhole). SimHash bit mixing is a pandas
-    UDF → rows-only check."""
+    (complete for hamming<=3 by pigeonhole)."""
     d = _t(spark, sf_dir, "documents")
     return simhash_near_dups(d, max_hamming=3)
 
@@ -321,12 +348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact_audit": q_embedding_neardup_exact_audit,
         "ann_topk": q_ann_topk,
         "emb_norms": q_emb_norms,
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh": q_ann_lsh,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "simhash_near_dups": q_simhash_near_dups,
     }
 
@@ -401,12 +428,160 @@ sh as (
     md5(array_to_string(w[1:8], ' ')) fp8,
     case when len(w) < 3 then [] else {shingles} end s
   from toks
+  qualify count(*) over (partition by fp8) <= {cap}
 )
 select a.doc_id id_a, b.doc_id id_b,
   round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) jaccard
 from sh a join sh b using (fp8)
 where a.doc_id < b.doc_id
+""".format(toks=_TOKS, shingles=_SHINGLES, cap=FP8_BUCKET_CAP)
+
+# MinHash-LSH candidate pairs + exact-Jaccard verify, bit-identical to
+# lsh_candidate_pairs + ngram_jaccard (num_hashes=16, bands=4, rows=4):
+# sig[i] = min over shingles of first-15-hex-digits of md5(i||':'||shingle);
+# band key = comma-joined 4-slice of the signature (all-null → '' exactly
+# like Spark's concat_ws over nulls); candidates join per (band, key).
+_MINHASH_LSH_SQL = """
+with toks as (select doc_id, {toks} w from documents),
+sh as (
+  select doc_id, case when len(w) < 3 then [] else {shingles} end s
+  from toks
+),
+sig as (
+  select doc_id,
+    [list_min([('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::BIGINT for x in s])
+     for i in generate_series(0, 15)] sig
+  from sh
+),
+bands as (
+  select doc_id, b.b band_id,
+    coalesce(array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ','), '') band_key
+  from sig cross join (select unnest(generate_series(0, 3)) b) b
+),
+cand as (
+  select distinct a.doc_id id_a, b.doc_id id_b
+  from bands a join bands b on a.band_id = b.band_id and a.band_key = b.band_key
+  where a.doc_id < b.doc_id
+),
+j as (
+  select id_a, id_b,
+    round(case when len(list_distinct(sa.s || sb.s)) = 0 then 0.0
+               else len(list_intersect(sa.s, sb.s))::DOUBLE
+                    / len(list_distinct(sa.s || sb.s)) end, 4) jaccard
+  from cand
+  join sh sa on sa.doc_id = id_a
+  join sh sb on sb.doc_id = id_b
+)
+select id_a, id_b, jaccard from j where jaccard >= 0.5
 """.format(toks=_TOKS, shingles=_SHINGLES)
+
+# SimHash core: per-token md5-prefix little-endian uint64 → per-bit ±1
+# accumulation → sign bits packed into a 64-bit value. Matches
+# dedup.simhash_udf bit-for-bit (verified over random corpora); docs with no
+# tokens hash to 0. `full` = (doc_id, uv UBIGINT) for every document.
+_SIMHASH_CORE = """
+toks as (
+  select doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) tok
+  from documents where length(trim(text)) > 0
+),
+hv as (
+  select doc_id,
+    ('0x' || substr(m,15,2) || substr(m,13,2) || substr(m,11,2) || substr(m,9,2)
+          || substr(m,7,2) || substr(m,5,2) || substr(m,3,2) || substr(m,1,2))::UBIGINT v
+  from (select doc_id, md5(tok) m from toks)
+),
+bits as (
+  select doc_id, b.b,
+    sum(case when (v >> b.b) & 1 = 1 then 1 else -1 end) acc
+  from hv cross join (select unnest(generate_series(0, 63)) b) b
+  group by doc_id, b.b
+),
+acc64 as (
+  select doc_id, sum(case when acc > 0 then (1::HUGEINT << b) else 0::HUGEINT end) uv
+  from bits group by doc_id
+),
+full_sim as (
+  select d.doc_id, coalesce(s.uv, 0::HUGEINT)::UBIGINT uv
+  from documents d left join acc64 s using (doc_id)
+)
+"""
+
+_SIMHASH_SQL = (
+    "with "
+    + _SIMHASH_CORE
+    + """
+select doc_id,
+  (case when uv >= 9223372036854775808::HUGEINT
+        then uv::HUGEINT - 18446744073709551616::HUGEINT
+        else uv::HUGEINT end)::BIGINT simhash
+from full_sim
+"""
+)
+
+# SimHash near-dup pairs: 4x16-bit band equi-join + bit_count(xor) verify —
+# same pigeonhole-complete candidate generation as dedup.simhash_near_dups.
+_SIMHASH_PAIRS_SQL = (
+    "with "
+    + _SIMHASH_CORE
+    + """
+, bands as (
+  select doc_id, uv, b.b band_id, (uv >> (16 * b.b)) & 65535 band_val
+  from full_sim cross join (select unnest(generate_series(0, 3)) b) b
+)
+select distinct a.doc_id id_a, b.doc_id id_b,
+  bit_count(xor(a.uv, b.uv))::INT hamming
+from bands a join bands b on a.band_id = b.band_id and a.band_val = b.band_val
+where a.doc_id < b.doc_id and bit_count(xor(a.uv, b.uv)) <= 3
+"""
+)
+
+# Random-hyperplane LSH bucket (similarity._hyperplane_sign parity): plane p
+# component i is +1 iff the first hex byte of md5(p||':'||i) is even; bucket
+# = the num_planes sign bits, first plane most significant. `buck` =
+# (vec_id, v DOUBLE[], bucket BIGINT) for dim=64, planes=4.
+_LSH_BUCKET_CTE = """
+e as (select vec_id, embedding::DOUBLE[] v from embeddings),
+planes as (select unnest(generate_series(0, 3)) p),
+sgn as (
+  select vec_id, v, p,
+    case when list_sum([
+        v[i+1] * (case when ('0x' || substr(md5(p || ':' || i), 1, 2))::INT % 2 = 0
+                       then 1.0 else -1.0 end)
+        for i in generate_series(0, 63)]) > 0 then 1 else 0 end s
+  from e cross join planes
+),
+buck as (
+  select vec_id, any_value(v) v, sum(s * (1::BIGINT << (3 - p)))::BIGINT bucket
+  from sgn group by vec_id
+)
+"""
+
+_ANN_LSH_SQL = (
+    "with "
+    + _LSH_BUCKET_CTE
+    + """
+, q as (select vec_id query_id, v qv, bucket from buck where vec_id < 8),
+n as (select vec_id neighbor_id, v ev, bucket from buck)
+select query_id, neighbor_id,
+  row_number() over (partition by query_id
+    order by list_cosine_similarity(qv, ev) desc, neighbor_id) rank,
+  round(list_cosine_similarity(qv, ev), 4) sim
+from q join n using (bucket)
+where query_id != neighbor_id
+qualify rank <= 5
+"""
+)
+
+_NEARDUP_LSH_SQL = (
+    "with "
+    + _LSH_BUCKET_CTE
+    + """
+select a.vec_id id_a, b.vec_id id_b,
+  round(list_cosine_similarity(a.v, b.v), 4) sim
+from buck a join buck b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where list_cosine_similarity(a.v, b.v) >= 0.45
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -436,8 +611,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "status_routing": """
             select event_type,
-              sum(case when value < 150 then 1 else 0 end) n_ok,
-              sum(case when value >= 150 then 1 else 0 end) n_retry,
+              sum(case when value < 150 then 1 else 0 end)::BIGINT n_ok,
+              sum(case when value >= 150 then 1 else 0 end)::BIGINT n_retry,
               round(avg(value), 4) avg_value
             from events group by event_type
         """,
@@ -484,8 +659,10 @@ def oracle_sql() -> dict[str, str]:
             select fp, count(*) n_dups, min(doc_id) canonical_id
             from fp group by fp having count(*) > 1
         """,
-        "embedding_neardup": """
-            with e as (select vec_id, embedding::DOUBLE[] v from embeddings)
+        "embedding_neardup": _NEARDUP_LSH_SQL,
+        "embedding_neardup_exact_audit": """
+            with e as (select vec_id, embedding::DOUBLE[] v from embeddings
+                       where vec_id % 4 = 0)
             select a.vec_id id_a, b.vec_id id_b,
               round(list_cosine_similarity(a.v, b.v), 4) sim
             from e a join e b on a.vec_id < b.vec_id
@@ -507,4 +684,8 @@ def oracle_sql() -> dict[str, str]:
               round(sqrt(list_aggregate([x * x for x in embedding::DOUBLE[]], 'sum')), 4) norm
             from embeddings
         """,
+        "simhash_docs": _SIMHASH_SQL,
+        "simhash_near_dups": _SIMHASH_PAIRS_SQL,
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "ann_lsh": _ANN_LSH_SQL,
     }

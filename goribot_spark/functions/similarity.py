@@ -66,14 +66,25 @@ def cosine_topk(
 
 def _hyperplane_sign(vec, plane_idx: int, dim: int):
     """Sign of <v, h_p> with h_p[i] = ±1 derived from md5(p:i) parity —
-    deterministic pseudo-random hyperplanes, no RNG state, no data movement."""
+    deterministic pseudo-random hyperplanes, no RNG state, no data movement.
+
+    NB: the transform lambda must take exactly ONE parameter — PySpark passes
+    (element, index) to two-parameter lambdas, so a ``p=plane_idx`` default
+    would silently bind ``p`` to the index Column (a bug this fixed: the
+    hyperplanes were stringified Column reprs, unstable across plans).
+    Oracle-checked against DuckDB's identical md5 math in __spark_entry__."""
+    prefix = f"{plane_idx}:"
     signed = F.zip_with(
         vec,
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, p=plane_idx: F.when(
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 2), 16, 10)
-                .cast("int") % 2
+            lambda i: F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 2),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
                 == 0,
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0)),
