@@ -163,6 +163,47 @@ def url_hash(url: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Full request identity (tools.go:52-75): the reference dedup hash covers
+# headers + cookies + body, and TestReqDeduplicate (extensions_test.go:199-232)
+# asserts a child differing only by a header IS fetched. Frontier rows carry
+# request shape in the meta map under reserved keys:
+#     h:<Header-Name> → request header        (net.go:126-131 SetHeader)
+#     c:<name>        → explicit cookie       (net.go:117-122 AddCookie)
+#     body            → request body string   (net.go:47-85 POST variants)
+#     method          → HTTP verb; NOT hashed (GetRequestHash omits it too)
+# Rows without any of these hash to the plain canonical URL — identical keys
+# to before, so URL-only crawls pay nothing.
+# ---------------------------------------------------------------------------
+
+_REQ_KEYS_PREFIXES = ("h:", "c:")
+
+
+def canonical_request_str(url: str, meta: dict[str, str] | None) -> str:
+    """Canonical request string incl. meta-carried headers/cookies/body.
+
+    Matches canonical_request_bytes' layout (url @#@ headers @#@ cookies +
+    body); cookie order is name-sorted (a map carries no insertion order —
+    documented deviation from Go's slice order, deterministic either way)."""
+    if not meta:
+        return canonical_url(url)
+    headers = {k[2:]: [v] for k, v in meta.items() if k.startswith("h:") and v is not None}
+    cookies = sorted(
+        (k[2:], v) for k, v in meta.items() if k.startswith("c:") and v is not None
+    )
+    body = meta.get("body") or ""
+    if not headers and not cookies and not body:
+        return canonical_url(url)
+    return canonical_request_bytes(
+        url, headers, cookies, body.encode("utf-8")
+    ).decode("utf-8")
+
+
+def request_hash(url: str, meta: dict[str, str] | None = None) -> int:
+    """Signed-64 xxhash of the canonical request — meta-aware frontier key."""
+    return xxh64(canonical_request_str(url, meta).encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
 # Spark-side: vectorized canonicalization; hashing stays in the JVM.
 # ---------------------------------------------------------------------------
 
@@ -173,10 +214,29 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonical_url(u) if u is not None else None)
 
 
-def with_url_hash(df, url_col: str = "url", out_col: str = "url_hash"):
+@F.pandas_udf(StringType())
+def canonicalize_request_udf(urls: pd.Series, metas: pd.Series) -> pd.Series:
+    """Meta-aware canonical-request UDF (headers/cookies/body in the key)."""
+    return pd.Series(
+        [
+            canonical_request_str(u, m) if u is not None else None
+            for u, m in zip(urls, metas)
+        ]
+    )
+
+
+def with_url_hash(
+    df, url_col: str = "url", out_col: str = "url_hash", meta_col: str | None = None
+):
     """Add the canonical 64-bit key: pandas-UDF canonical string → JVM xxhash64.
 
     The xxhash64 itself is a builtin (whole-stage-codegen'd); only the string
-    normalization crosses the Arrow boundary.
+    normalization crosses the Arrow boundary. With ``meta_col`` set, rows
+    whose meta carries request-shaping keys (h:/c:/body) hash the full
+    request identity (tools.go:52-75 semantics); other rows hash the URL.
     """
-    return df.withColumn(out_col, F.xxhash64(canonicalize_url_udf(F.col(url_col))))
+    if meta_col is not None:
+        canon = canonicalize_request_udf(F.col(url_col), F.col(meta_col))
+    else:
+        canon = canonicalize_url_udf(F.col(url_col))
+    return df.withColumn(out_col, F.xxhash64(canon))

@@ -49,11 +49,38 @@ from goribot_spark.sources.store import CrawlStore
 @dataclass
 class CrawlConfig:
     rules: list[LimitRule] = field(default_factory=list)
+    # Hook chains — the reference's primary extension API (Use(ext) +
+    # OnReq/OnResp/OnItem/OnAdd, goribot.go:101-105, 271-342). Each entry is
+    # a DataFrame -> DataFrame transform (see operators/stages.py for stock
+    # ones); applied in list order at the documented lifecycle points:
+    #   on_req   — to the scheduled wave before fetch; dropped rows are
+    #              consumed-but-never-fetched (OnReq nil-return semantics)
+    #   on_resp  — to the fetched+parsed frame (before discovery/items);
+    #              per-handler Handler.resp_stages run after these
+    #   on_add   — to candidate rows BEFORE the built-in admission filters
+    #              (rules/robots/dedup run as OnAdd hooks in the reference)
+    #   on_item  — to the decoded results frame before the sink write;
+    #              per-handler Handler.item_stages run after these
+    on_req: list = field(default_factory=list)
+    on_resp: list = field(default_factory=list)
+    on_add: list = field(default_factory=list)
+    on_item: list = field(default_factory=list)
+    # Lifecycle callbacks (OnStart/OnFinish, goribot.go:251-268): called by
+    # run() with the engine, before the first wave / after the loop exits.
+    on_start: object = None
+    on_finish: object = None
     whitelist: bool = False  # limiter.go:143-147
     max_depth: int | None = None
     retry_max: int = 0  # Retry(maxTimes) — extensions.go:89-106; 0 = off
     okcodes: tuple[int, ...] = (200,)
     dedup: bool = True  # ReqDeduplicate — extensions.go:288-309
+    # Cookie jar (net.go:261-263, TestCookieJar net_test.go:116-137) under
+    # the documented CROSS-WAVE approximation (SURVEY §7.3 item 5): cookies
+    # set by wave N's responses are attached (as a `jar_cookies` map column)
+    # to wave N+1's requests; within-wave Set-Cookie→next-request ordering
+    # is not reproduced. Jar cookies do NOT enter the dedup key — the
+    # reference attaches them at client-send time, after GetRequestHash.
+    cookie_jar: bool = True
     use_bloom: bool = False  # approximate pre-filter over seen (operators/bloom.py)
     bloom_bits: int = 1 << 23
     dfs: bool = False  # SetDepthFirst — extensions.go:262-269
@@ -98,10 +125,14 @@ class CrawlEngine:
         # side — the page bodies never re-enter shuffle disk. This is the
         # sandbox analog of a bucketed / storage-partitioned fetch join
         # (SCALE.md §1); on a real crawl the fetch is mapInPandas HTTP and
-        # no pages table exists at all.
+        # no pages table exists at all. Keyed by URL, not url_hash: the
+        # frontier key is full REQUEST identity (headers/cookies/body,
+        # canon.py), while fetching resolves by URL — two requests differing
+        # only in headers are distinct frontier rows that hit the same page,
+        # exactly like two HTTP GETs to one URL.
         self.pages = (
             spark.read.parquet(f"{fixtures_dir}/pages.parquet")
-            .repartition(self.cfg.num_partitions, "url_hash")
+            .repartition(self.cfg.num_partitions, "url")
             .persist()
         )
         # Same treatment for the payload table: cache it hash-partitioned by
@@ -150,17 +181,26 @@ class CrawlEngine:
     # -- seeding (goribot.go:85-99) ---------------------------------------
 
     def seed(self, urls: list[str], handler_id: str = "extract_links_images",
-             priority: int = 0) -> int:
+             priority: int = 0, meta: dict | list[dict | None] | None = None) -> int:
         """AddTask analog: depth −1→1, admission chain (dedup applies to
-        seeds — extensions_test.go:199-232), append to frontier as wave 0."""
+        seeds — extensions_test.go:199-232), append to frontier as wave 0.
+
+        ``meta`` (one dict, or one per url) may carry request-shaping keys
+        (``h:<Header>``, ``c:<name>``, ``body``, ``method`` — see canon.py):
+        the frontier key then hashes the full request identity, so the same
+        URL with an extra header is a distinct request (tools.go:52-75,
+        TestReqDeduplicate)."""
         from urllib.parse import urlsplit
 
+        from goribot_spark.canon import request_hash
+
+        metas = meta if isinstance(meta, list) else [meta] * len(urls)
         state = self.store.manifest["driver_state"]
         seq_base = int(state.get("seq_base", 0))
         rows = [
             (
                 u,
-                py_url_hash(u),
+                request_hash(u, m) if m else py_url_hash(u),
                 (urlsplit(u).hostname or "").lower(),
                 1,
                 priority,
@@ -169,9 +209,9 @@ class CrawlEngine:
                 0,
                 None,
                 handler_id,
-                None,
+                m,
             )
-            for i, u in enumerate(urls)
+            for i, (u, m) in enumerate(zip(urls, metas))
         ]
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
         df = apply_rule_filters(df, self.cfg.rules, self.cfg.whitelist, self.cfg.max_depth)
@@ -212,6 +252,17 @@ class CrawlEngine:
         self.store.commit_wave(wave, {"seeded": n}, state)
         df.unpersist()
         return n
+
+    def seed_requests(self, reqs: list, handler_id: str = "extract_links_images",
+                      priority: int = 0) -> int:
+        """Seed from ``(url, meta)`` pairs built by goribot_spark.requests
+        (the Get/Post constructor surface, net.go:31-85)."""
+        return self.seed(
+            [u for u, _ in reqs],
+            handler_id=handler_id,
+            priority=priority,
+            meta=[m for _, m in reqs],
+        )
 
     # -- one superstep -----------------------------------------------------
 
@@ -272,15 +323,37 @@ class CrawlEngine:
         if scheduled == 0:
             return {"wave": wave, "scheduled": 0, "done": True}
 
+        # Cookie jar attach (cross-wave, net.go:261-263): the previous
+        # waves' merged per-host cookies ride along as `jar_cookies` so the
+        # fetch (and OnReq/OnResp hooks) see the session state. Equi-join on
+        # host; the state side is hosts-with-cookies only, so Spark's
+        # auto-broadcast covers it at sandbox scale and AQE picks the
+        # strategy at cluster scale.
+        use_jar = cfg.cookie_jar and "set_cookies" in self.pages.columns
+        fetch_base = wave_df
+        if use_jar:
+            jar = self.store.host_state().withColumnRenamed("cookies", "jar_cookies")
+            fetch_base = wave_df.join(jar, on="host", how="left")
+
+        # OnReq chain (goribot.go:199, 274-282): rewrite or drop scheduled
+        # requests just before fetch. Applied to a derived frame so the full
+        # wave still lands in `consumed` — a row dropped here is consumed-
+        # but-never-fetched, the reference's nil-return discard (it never
+        # re-enters a later wave).
+        fetch_src = H.apply_hook_stages(fetch_base, cfg.on_req)
+
         # Synthetic fetch (J5): status resolution incl. flaky-page retries.
-        pages = self.pages.select(
-            F.col("url_hash"),
+        page_cols = [
+            F.col("url"),
             F.col("status").alias("_pstatus"),
-            "fail_times",
-            "content_type",
-            "body",
-        )
-        fetched = wave_df.join(pages, on="url_hash", how="left").withColumn(
+            F.col("fail_times"),
+            F.col("content_type"),
+            F.col("body"),
+        ]
+        if use_jar:
+            page_cols.append(F.col("set_cookies"))
+        pages = self.pages.select(*page_cols)
+        fetched = fetch_src.join(pages, on="url", how="left").withColumn(
             "status",
             F.when(F.col("_pstatus").isNull(), F.lit(None).cast("int"))
             .when(F.col("retry_count") < F.col("fail_times"), F.lit(500))
@@ -293,7 +366,13 @@ class CrawlEngine:
         fetch_status = fetched.select(
             *schemas.FRONTIER.fieldNames(), "status"
         ).localCheckpoint(eager=False)
-        parsed = with_parsed(fetched.where(ok)).localCheckpoint(eager=False)
+        # OnResp chain + per-handler resp stages (goribot.go:212, 321-329;
+        # Handler pipeline 213-218) run on the decoded+parsed frame before
+        # discovery/items read it — hook rewrites of links/image_refs/meta
+        # affect everything downstream, exactly like ctx mutation would.
+        parsed = H.apply_hook_stages(
+            with_parsed(fetched.where(ok)), cfg.on_resp, "resp_stages"
+        ).localCheckpoint(eager=False)
 
         # R1/R2 retry routing + terminal errors.
         failed = fetch_status.where(~ok | F.col("status").isNull())
@@ -344,6 +423,11 @@ class CrawlEngine:
         wave_caches: list = []
         cands, n_cands = build_candidates(emit_links, wave, seq_base, wave_caches)
         mark("fetch_parse_rank")
+        # Custom OnAdd hooks (goribot.go:285-296) run before the built-in
+        # admission chain — in the reference, rules/robots/dedup are
+        # themselves OnAdd hooks appended by Use(), so user hooks registered
+        # first see candidates first.
+        cands = H.apply_hook_stages(cands, cfg.on_add)
         cands = apply_rule_filters(cands, cfg.rules, cfg.whitelist, cfg.max_depth)
         if self.robots is not None:
             cands = apply_robots(cands, self.robots, cfg.ua)
@@ -359,7 +443,9 @@ class CrawlEngine:
             & F.col("handler_id").isin(H.item_emitting_ids())
         )
         refs = emit_items.select(
-            F.col("url").alias("src_url"), F.explode("image_refs").alias("image_id")
+            F.col("url").alias("src_url"),
+            "handler_id",
+            F.explode("image_refs").alias("image_id"),
         )
         # The images table is the sandbox's stand-in for the network (a real
         # deployment fetches bytes inside mapInPandas, no join at all); its
@@ -380,8 +466,15 @@ class CrawlEngine:
                 "phash",
                 "decode_error",
                 "src_url",
+                "handler_id",
                 F.lit(wave).cast("int").alias("wave"),
             )
+        )
+        # OnItem chain + per-handler item stages (goribot.go:332-342): item
+        # transforms/filters before the sink write; handler_id rides along
+        # for the per-handler split and is dropped at the final select.
+        results = H.apply_hook_stages(results, cfg.on_item, "item_stages").select(
+            *schemas.RESULTS.fieldNames()
         )
         # results is intentionally NOT cached/checkpointed: it is written
         # exactly once below (decode runs inside the write stage at full
@@ -416,16 +509,63 @@ class CrawlEngine:
         # higher core counts never multiply the small files that every later
         # wave's frontier/seen reads re-list. (Iceberg would get the same
         # effect from write targets + compaction.)
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             f_adm = pool.submit(admitted.count)
             f_fs = pool.submit(fetch_status.count)
+            # Cookie probe rides the same pool: most waves set no cookies,
+            # and the probe lets them skip the jar merge+write entirely.
+            f_ck = (
+                pool.submit(
+                    lambda: parsed.where(F.col("set_cookies").isNotNull())
+                    .limit(1)
+                    .count()
+                )
+                if use_jar
+                else None
+            )
             admitted_n, _ = f_adm.result(), f_fs.result()
+            wave_has_cookies = bool(f_ck.result()) if f_ck is not None else False
         mark("materialize")
         # File counts sized from the (now known) row counts: enough tasks to
         # keep big writes parallel, 1 file on the drain tail — the re-read
         # tables never accumulate per-core file explosions either way.
         def _nfiles(rows: int, rows_per_file: int = 250_000) -> int:
             return min(sp, max(1, -(-rows // rows_per_file)))
+
+        host_state_write = None
+        if use_jar and wave_has_cookies:
+            # Merge this wave's Set-Cookie responses into the jar
+            # (last-writer-wins by seq within the wave, new over old across
+            # waves — http.CookieJar overwrite semantics) and re-snapshot
+            # the full state. The state is (hosts-with-cookies × cookies) —
+            # config-scale next to the frontier; entries sorted for
+            # deterministic bytes (resume byte-identity contract).
+            from pyspark.sql import Window
+
+            upd = parsed.where(F.col("set_cookies").isNotNull()).select(
+                "host", "seq", F.explode("set_cookies").alias("ck", "cv")
+            )
+            wlast = Window.partitionBy("host", "ck").orderBy(F.col("seq").desc())
+            latest = (
+                upd.withColumn("_rn", F.row_number().over(wlast))
+                .where(F.col("_rn") == 1)
+                .select("host", "ck", "cv")
+            )
+            prev = (
+                self.store.host_state()
+                .select("host", F.explode("cookies").alias("ck", "cv"))
+                .join(latest.select("host", "ck"), on=["host", "ck"], how="left_anti")
+            )
+            host_state_write = (
+                prev.unionByName(latest)
+                .groupBy("host")
+                .agg(
+                    F.map_from_entries(
+                        F.array_sort(F.collect_list(F.struct("ck", "cv")))
+                    ).alias("cookies")
+                )
+                .coalesce(1)
+            )
 
         writes = {
             # results: uncoalesced — decode executes inside this write stage
@@ -442,6 +582,8 @@ class CrawlEngine:
         }
         if cfg.dedup:
             writes["seen"] = admitted.select("url_hash").coalesce(_nfiles(admitted_n))
+        if host_state_write is not None:
+            writes["host_state"] = host_state_write
         with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
             futures = {
                 t: pool.submit(self.store.write, t, wave, df)
@@ -451,7 +593,7 @@ class CrawlEngine:
             # Row count via parquet footer metadata of what was just written
             # (count(*) pushdown — no data scan, no second decode pass).
             images_n = self.spark.read.parquet(
-                self.store._wave_dir("results", wave)
+                self.store.wave_path("results", wave)
             ).count()
             wall = time.time() - t0
             metrics = metrics.unionByName(
@@ -508,12 +650,19 @@ class CrawlEngine:
     # -- the driver loop (goribot.go:227-248) ------------------------------
 
     def run(self, max_waves: int | None = None) -> list[dict]:
-        """AutoStop loop: run waves until the pending frontier drains."""
+        """AutoStop loop: run waves until the pending frontier drains.
+
+        OnStart fires before the first wave and OnFinish after the loop
+        exits (goribot.go:251-268), each called with the engine."""
         out = []
+        if self.cfg.on_start is not None:
+            self.cfg.on_start(self)
         limit = max_waves if max_waves is not None else self.cfg.max_waves
         for _ in range(limit):
             r = self.run_wave()
             out.append(r)
             if r.get("done"):
                 break
+        if self.cfg.on_finish is not None:
+            self.cfg.on_finish(self)
         return out

@@ -10,7 +10,7 @@ stamp deterministic ordering keys (discovery_epoch = wave, seq = rank by
 
 from __future__ import annotations
 
-from urllib.parse import urljoin, urlsplit
+from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -34,17 +34,12 @@ def resolve_url_udf(parent: pd.Series, link: pd.Series) -> pd.Series:
     return pd.Series([_resolve(p, l) for p, l in zip(parent, link)])
 
 
-@F.pandas_udf(StringType())
-def host_of_udf(url: pd.Series) -> pd.Series:
-    def _host(u):
-        if u is None:
-            return None
-        try:
-            return (urlsplit(u).hostname or "").lower()
-        except ValueError:
-            return None
-
-    return url.map(_host)
+def host_of(url_col) -> "F.Column":
+    """Lowercased hostname — JVM-side (parse_url in whole-stage codegen; the
+    previous pandas-UDF variant was a per-wave Python crossing for work a
+    builtin does). Empty string where no host parses, matching
+    urlsplit().hostname or ''."""
+    return F.coalesce(F.lower(F.parse_url(url_col, F.lit("HOST"))), F.lit(""))
 
 
 def build_candidates(
@@ -54,13 +49,27 @@ def build_candidates(
 
     Returns (candidates_df, n_candidates); seq values occupy
     [seq_base, seq_base + n_candidates)."""
+    # Children inherit user meta but NOT the parent's request shape: a
+    # discovered link is a fresh GET in the reference (ctx.AddTask(Get(u)),
+    # goribot.go:163-172 — no header/cookie/body inheritance), so the
+    # request-shaping keys (canon.py: h:/c:/body/method) are stripped and
+    # the child's frontier key is the plain canonical-URL hash. An OnAdd
+    # hook that sets h:/c: keys must also recompute url_hash via
+    # canon.with_url_hash(meta_col="meta").
+    child_meta = F.map_filter(
+        F.col("meta"),
+        lambda k, v: ~k.startswith("h:")
+        & ~k.startswith("c:")
+        & (k != "body")
+        & (k != "method"),
+    )
     exploded = fetched.select(
         F.col("url").alias("parent_url"),
         F.col("depth").alias("parent_depth"),
         F.col("priority").alias("parent_priority"),
         F.col("seq").alias("parent_seq"),
         F.col("handler_id"),
-        F.col("meta"),
+        child_meta.alias("meta"),
         F.posexplode_outer("links").alias("link_pos", "raw_link"),
     ).where(F.col("raw_link").isNotNull())
 
@@ -69,7 +78,7 @@ def build_candidates(
     ).where(F.col("url").isNotNull() & F.col("url").startswith("http"))
 
     resolved = with_url_hash(resolved, "url", "url_hash").withColumn(
-        "host", host_of_udf(F.col("url"))
+        "host", host_of(F.col("url"))
     )
 
     ranked, total = with_global_rank(

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -53,6 +54,39 @@ def link_emitting_ids() -> list[str]:
 
 def item_emitting_ids() -> list[str]:
     return [h.name for h in _REGISTRY.values() if h.emit_items]
+
+
+def apply_hook_stages(
+    df: DataFrame,
+    global_stages: list[Callable[[DataFrame], DataFrame]] | None,
+    stage_attr: str | None = None,
+) -> DataFrame:
+    """Run a hook chain over ``df``: the config-level stages first (the
+    spider-wide OnReq/OnResp/OnItem chains, goribot.go:271-342), then each
+    registered handler's own stage list (``resp_stages``/``item_stages`` —
+    the per-task closure pipeline, goribot.go:213-218) on that handler's
+    rows, split by ``handler_id`` and unioned back.
+
+    Contract: per-handler stages must preserve the frame's schema (they may
+    filter rows and rewrite column values — the Spark analog of hooks
+    mutating ctx in place); config-level stages may also add columns, since
+    they see the whole frame. Handlers without stages pass through untouched;
+    with no stages anywhere this is the identity (zero plan overhead)."""
+    for s in global_stages or []:
+        df = df.transform(s)
+    if stage_attr is None:
+        return df
+    staged = [h for h in _REGISTRY.values() if getattr(h, stage_attr)]
+    if not staged:
+        return df
+    names = [h.name for h in staged]
+    out = df.where(~F.col("handler_id").isin(names) | F.col("handler_id").isNull())
+    for h in staged:
+        sub = df.where(F.col("handler_id") == h.name)
+        for s in getattr(h, stage_attr):
+            sub = sub.transform(s)
+        out = out.unionByName(sub)
+    return out
 
 
 # Built-ins.

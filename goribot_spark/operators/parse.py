@@ -1,10 +1,9 @@
 """Fetch-payload decode + parse stage (reference net.go:191-228, S6-S9).
 
 One Arrow-vectorized pandas UDF handles, per batch: transparent gunzip
-(net.go:296-303), charset decode honoring the content-type charset parameter
-(net.go:199-206 — the reference uses chardet auto-detection; we honor the
-declared charset and fall back to UTF-8, the deterministic subset of that
-behavior), HTML link/img/title extraction (net.go:219-225's goquery DOM →
+(net.go:296-303), charset decode (net.go:199-206 — declared charset honored,
+else a deterministic detector: BOM / <meta charset> sniff / strict-UTF-8 →
+GBK fallback, standing in for chardet), HTML link/img/title extraction (net.go:219-225's goquery DOM →
 stdlib HTMLParser here), and JSON field extraction (net.go:231-233's gjson →
 ``json`` module). No DOM object crosses stages: the UDF returns a struct
 column ``(links, image_refs, title, parse_error)``.
@@ -36,6 +35,38 @@ PARSED = StructType(
 )
 
 _CHARSET_RE = re.compile(r"charset=([\w\-]+)", re.I)
+_META_CHARSET_RE = re.compile(rb"<meta[^>]+charset=[\"']?([\w\-]+)", re.I)
+
+
+def _decode_text(body: bytes, ctype: str) -> str:
+    """Charset resolution mirroring net.go:199-206 (forced encoding, else
+    chardet auto-detection) with a deterministic detector: declared charset
+    → BOM → <meta charset> sniff in the first 1 KiB → strict-UTF-8 try →
+    GBK try → permissive UTF-8. Covers the reference's own detection test
+    corpus (GBK pages without a charset declaration, net_test.go:82-92)
+    without a chardet dependency."""
+    m = _CHARSET_RE.search(ctype)
+    if m:
+        return body.decode(m.group(1), errors="replace")
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body.decode("utf-8-sig", errors="replace")
+    if body.startswith(b"\xff\xfe"):
+        return body.decode("utf-16-le", errors="replace")
+    if body.startswith(b"\xfe\xff"):
+        return body.decode("utf-16-be", errors="replace")
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        try:
+            return body.decode(m.group(1).decode("ascii"), errors="replace")
+        except LookupError:
+            pass
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        try:
+            return body.decode("gbk")
+        except UnicodeDecodeError:
+            return body.decode("utf-8", errors="replace")
 
 
 class _Extractor(HTMLParser):
@@ -81,8 +112,7 @@ def _parse_one(body: bytes | None, content_type: str | None):
                 None,
             )
         if "html" in ctype or ctype.startswith("text/"):
-            m = _CHARSET_RE.search(ctype)
-            text = body.decode(m.group(1) if m else "utf-8", errors="replace")
+            text = _decode_text(body, ctype)
             ex = _Extractor()
             ex.feed(text)
             return ex.links, ex.images, "".join(ex.title_parts), None

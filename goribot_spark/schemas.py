@@ -103,14 +103,13 @@ METRICS = StructType(
     ]
 )
 
-# Per-host carry-over state (rate-token remainder, cookie jar analog —
-# reference limiter.go:64-72, net.go:261-263).
+# Per-host session state — the cookie jar analog (net.go:261-263,
+# net_test.go:116-137), merged and re-snapshotted per wave (cross-wave
+# semantics, SURVEY §7.3 item 5). Rate-token carry-over lives in the run
+# manifest's driver_state (config-scale), not here.
 HOST_STATE = StructType(
     [
         StructField("host", StringType(), False),
-        StructField("rule_id", IntegerType(), True),
-        StructField("tokens_left", DoubleType(), False),
-        StructField("admitted_total", LongType(), False),
         StructField("cookies", MapType(StringType(), StringType()), True),
     ]
 )
@@ -153,6 +152,8 @@ PAGES = StructType(
         StructField("image_refs", ArrayType(StringType()), True),
         StructField("title", StringType(), True),
         StructField("gzipped", BooleanType(), False),
+        # Set-Cookie analog (net.go:261-263): map of cookies this page sets.
+        StructField("set_cookies", MapType(StringType(), StringType()), True),
     ]
 )
 

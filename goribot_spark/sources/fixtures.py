@@ -114,8 +114,11 @@ def generate_pages(
       * 5% fail twice then succeed (Retry — extensions_test.go:77-111)
       * 10% stored gzip-compressed (net.go:296-303)
       * a small JSON subset (net.go:231-243)
-      * a small GBK-encoded subset (net_test.go:82-92)
+      * a small GBK-encoded subset; odd k omit the charset declaration so
+        the engine's charset detector is exercised (net_test.go:82-92)
       * duplicate + relative links (dedup + urljoin — goribot.go:163-166)
+      * pages with k % 13 == 5 Set-Cookie a per-host session value
+        (cookie jar — net.go:261-263, net_test.go:116-137)
     """
     rng = np.random.default_rng(seed + 1)
     cols = {
@@ -132,6 +135,7 @@ def generate_pages(
             "image_refs",
             "title",
             "gzipped",
+            "set_cookies",
         )
     }
     gpi = 0  # global page index
@@ -173,7 +177,9 @@ def generate_pages(
                     + "".join(f'<img src="img://{i}">' for i in img_ids)
                     + "</body></html>"
                 ).encode("gbk")
-                ctype = "text/html; charset=gbk"
+                # Odd k: no declaration → the engine must DETECT the charset
+                # (net.go:202-206 chardet semantics, net_test.go:82-92).
+                ctype = "text/html" if k % 2 else "text/html; charset=gbk"
             else:
                 body = _render_html(title, hrefs, img_ids)
                 ctype = "text/html; charset=utf-8"
@@ -192,6 +198,9 @@ def generate_pages(
             cols["image_refs"].append(img_ids)
             cols["title"].append(title)
             cols["gzipped"].append(gz)
+            cols["set_cookies"].append(
+                [("session", f"{host}-k{k}")] if k % 13 == 5 else None
+            )
             gpi += 1
     return pa.table(
         cols,
@@ -208,6 +217,7 @@ def generate_pages(
                 ("image_refs", pa.list_(pa.string())),
                 ("title", pa.string()),
                 ("gzipped", pa.bool_()),
+                ("set_cookies", pa.map_(pa.string(), pa.string())),
             ]
         ),
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from goribot_spark import schemas
 
-TABLES = ("frontier", "consumed", "seen", "results", "errors", "metrics")
+TABLES = ("frontier", "consumed", "seen", "results", "errors", "metrics", "host_state")
 
 _SCHEMAS = {
     "frontier": schemas.FRONTIER,
@@ -135,6 +135,22 @@ class CrawlStore:
 
     def seen(self) -> DataFrame:
         return self.read("seen")
+
+    def host_state(self) -> DataFrame:
+        """Per-host session state (cookie jar analog, net.go:261-263):
+        (host, cookies map). STATE table, not a log — the latest committed
+        wave's snapshot is the whole truth (each wave writes the fully
+        merged jar), so only that one directory is read."""
+        for w in sorted(self.committed_waves(), reverse=True):
+            d = self._wave_dir("host_state", w)
+            if os.path.isdir(d):
+                return self.spark.read.parquet(d)
+        return self.spark.createDataFrame([], schemas.HOST_STATE)
+
+    def wave_path(self, table: str, wave: int) -> str:
+        """Public path accessor for a wave partition (for footer-metadata
+        row counts etc.) — keeps callers off the private layout."""
+        return self._wave_dir(table, wave)
 
     # -- Bloom filter persistence (one .npy increment per wave) -----------
 

@@ -14,7 +14,8 @@ latency, not throughput — the regime 10^10-frontier crawls never occupy.
 The driver's per-round bench (bench.py defaults) keeps the small graph for
 fast feedback; this script overrides via env.
 
-Writes BENCH/BASELINE.md and prints the summary JSON.
+Writes BENCH/scaling_<N>_to_<4N>.{json,md} (never touching the narrative
+BENCH/BASELINE.md) and prints the summary JSON.
 """
 
 from __future__ import annotations
@@ -52,6 +53,7 @@ SCALE_ENV = {
     # property the criterion assumes.
     "SPARK_GRAFT_BENCH_RUN_DIR": "/dev/shm/goribot_bench_run",
     "SPARK_LOCAL_DIRS": "/dev/shm/goribot_spark_local",
+    "SPARK_GRAFT_TMPFS": "1",
 }
 
 
@@ -90,21 +92,27 @@ def main():
         "wall_n": c_n["wall_sec"],
         "wall_4n": c_4n["wall_sec"],
         "scaling_efficiency": round(eff, 3),
+        "env": dict(SCALE_ENV, SPARK_GRAFT_SCALE_N=str(n), SPARK_GRAFT_SCALE_4N=str(four_n)),
         "bench_n": r_n,
         "bench_4n": r_4n,
     }
+    # Generated evidence goes to per-pair files (raw JSON + table) so
+    # reruns NEVER clobber the hand-written narrative in BENCH/BASELINE.md;
+    # that doc links these files and quotes their numbers.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    raw_path = os.path.join(REPO, "BENCH", f"scaling_{n}_to_{four_n}.json")
+    with open(raw_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    with open(os.path.join(REPO, "BENCH", f"scaling_{n}_to_{four_n}.md"), "w") as f:
         f.write(
-            f"""# BENCH — measured throughput & scaling (local-mode evidence)
+            f"""# Generated scaling evidence: local[{n}] → local[{four_n}]
 
-North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. Sandbox evidence: identical crawl job at local[{n}] vs
-local[{four_n}], separate JVMs, same input ({c_n['pages']} pages over
+Identical crawl job, separate JVMs, same input ({c_n['pages']} pages over
 {SCALE_ENV['SPARK_GRAFT_BENCH_HOSTS']} hosts, depth
 {SCALE_ENV['SPARK_GRAFT_BENCH_DEPTH']}, {c_n['images_decoded']} image
-decodes) — a wide production-shaped frontier, so per-superstep driver cost
-(identical at any cluster size) stays inside Amdahl's serial-fraction bound.
+decodes). Conditions: flaky_frac={SCALE_ENV['SPARK_GRAFT_BENCH_FLAKY']},
+store+shuffle on tmpfs (SPARK_GRAFT_TMPFS=1 — the analog of per-node disks
+scaling with cluster size). Raw JSON: {os.path.basename(raw_path)}.
 
 | metric | local[{n}] | local[{four_n}] |
 |---|---|---|
@@ -116,20 +124,6 @@ decodes) — a wide production-shaped frontier, so per-superstep driver cost
 
 **Scaling efficiency = ({c_n['wall_sec']}/{c_4n['wall_sec']})/{four_n // n}
 = {eff:.3f}**
-
-Reference baseline (goribot README.md:23): >1,000 task/sec on one core
-against a trivial local HTTP responder (no parse, no decode, no dedup
-table). This engine's per-URL work includes HTML parse, link canonicalize +
-xxhash64, dedup anti-join, politeness budgets, image decode + phash, and
-checkpointed parquet writes per wave.
-
-Raw bench JSON:
-
-```json
-{json.dumps({k: summary[k] for k in ("n_cores", "four_n_cores", "wall_n", "wall_4n", "scaling_efficiency")})}
-{json.dumps(r_n["crawl"])}
-{json.dumps(r_4n["crawl"])}
-```
 """
         )
     print(json.dumps(summary))
