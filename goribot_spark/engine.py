@@ -99,6 +99,12 @@ class CrawlConfig:
     # previous wave's admitted count; bounded by num_partitions.
     auto_shuffle_partitions: bool = True
     target_rows_per_partition: int = 500
+    # Waves at or below this many scheduled rows rank their discovered links
+    # on the single-partition fast path (ordering.with_global_rank) — same
+    # deterministic seq, minus a range shuffle + persist + counts job that
+    # dominate drain-tail wave cost. Frontier-scale waves keep the
+    # distributed rank.
+    small_wave_threshold: int = 20_000
 
 
 class CrawlEngine:
@@ -155,10 +161,24 @@ class CrawlEngine:
             if (self.cfg.dedup and self.cfg.use_bloom)
             else None
         )
+        # Incremental crawl-state caches: pending frontier and seen set as
+        # lazily-localCheckpoint'ed frames updated with each wave's deltas.
+        # Rebuilding them from the store each wave re-lists and re-reads
+        # every wave directory AND replans an anti-join over ALL consumed
+        # rows — O(waves) per-wave driver cost that the incremental form
+        # makes O(1). The tables stay the durable truth: a fresh engine
+        # (resume) or a mid-crawl seed() rebuilds the caches from them.
+        self._pending: DataFrame | None = None
+        self._seen: DataFrame | None = None
+
+    def _seen_frame(self) -> DataFrame:
+        if self._seen is None:
+            self._seen = self.store.seen()
+        return self._seen
 
     def _dedup(self, df):
         return dedup_against_seen(
-            df, self.store.seen(), self.spark, self._bloom, self.cfg.bloom_bits
+            df, self._seen_frame(), self.spark, self._bloom, self.cfg.bloom_bits
         )
 
     def _bloom_commit(self, wave: int, admitted) -> None:
@@ -251,6 +271,10 @@ class CrawlEngine:
         )
         self.store.commit_wave(wave, {"seeded": n}, state)
         df.unpersist()
+        # New frontier/seen rows outside the wave loop → drop the
+        # incremental caches; the next wave rebuilds from the tables.
+        self._pending = None
+        self._seen = None
         return n
 
     def seed_requests(self, reqs: list, handler_id: str = "extract_links_images",
@@ -296,7 +320,16 @@ class CrawlEngine:
             )
             self.spark.conf.set("spark.sql.shuffle.partitions", str(sp))
 
-        pending = resolve_rule(self.store.pending_frontier(), cfg.rules)
+        pending_base = (
+            self._pending
+            if self._pending is not None
+            else self.store.pending_frontier()
+        )
+        # Defensive: cleared now, reassigned only after a successful commit,
+        # so an aborted wave falls back to the (uncommitted-rolled-back)
+        # table truth instead of a half-updated cache.
+        self._pending = None
+        pending = resolve_rule(pending_base, cfg.rules)
         rule_tokens = {int(k): v for k, v in state.get("rule_tokens", {}).items()}
         wave_df, new_tokens = select_wave(
             pending,
@@ -321,6 +354,7 @@ class CrawlEngine:
         scheduled = wave_df.count()
         mark("select_wave")
         if scheduled == 0:
+            self._pending = pending_base  # nothing consumed; keep the cache
             return {"wave": wave, "scheduled": 0, "done": True}
 
         # Cookie jar attach (cross-wave, net.go:261-263): the previous
@@ -421,7 +455,13 @@ class CrawlEngine:
             & F.col("handler_id").isin(H.link_emitting_ids())
         )
         wave_caches: list = []
-        cands, n_cands = build_candidates(emit_links, wave, seq_base, wave_caches)
+        cands, n_cands = build_candidates(
+            emit_links,
+            wave,
+            seq_base,
+            wave_caches,
+            small_wave=scheduled <= cfg.small_wave_threshold,
+        )
         mark("fetch_parse_rank")
         # Custom OnAdd hooks (goribot.go:285-296) run before the built-in
         # admission chain — in the reference, rules/robots/dedup are
@@ -584,26 +624,42 @@ class CrawlEngine:
             writes["seen"] = admitted.select("url_hash").coalesce(_nfiles(admitted_n))
         if host_state_write is not None:
             writes["host_state"] = host_state_write
+        mark("plan_writes")
         with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
             futures = {
                 t: pool.submit(self.store.write, t, wave, df)
                 for t, df in writes.items()
             }
             futures["results"].result()
+            mark("write_results")
             # Row count via parquet footer metadata of what was just written
             # (count(*) pushdown — no data scan, no second decode pass).
             images_n = self.spark.read.parquet(
                 self.store.wave_path("results", wave)
             ).count()
+            mark("count_results")
             wall = time.time() - t0
-            metrics = metrics.unionByName(
-                self.spark.createDataFrame(
-                    [(wave, -1, scheduled, 0, images_n, 0, 0, wall)], schemas.METRICS
-                )
+            # Totals row as JVM-side literals (spark.range(1).select(lit…)),
+            # NOT createDataFrame: a python-local row reaches the writer as
+            # a pickled-RDD scan, and coalesce(1) over it stalls ~4.5s per
+            # wave (fresh python worker on the write path — measured; it was
+            # the single largest term of the per-wave driver floor).
+            totals = self.spark.range(1).select(
+                F.lit(wave).cast("int").alias("wave"),
+                F.lit(-1).cast("int").alias("partition_id"),
+                F.lit(scheduled).cast("long").alias("urls_scheduled"),
+                F.lit(0).cast("long").alias("urls_fetched"),
+                F.lit(images_n).cast("long").alias("images_decoded"),
+                F.lit(0).cast("long").alias("errors"),
+                F.lit(0).cast("long").alias("distinct_hosts"),
+                F.lit(float(wall)).alias("wall_sec"),
             )
+            metrics = metrics.unionByName(totals)
             futures["metrics"] = pool.submit(
                 self.store.write, "metrics", wave, metrics.coalesce(1)
             )
+            futures["metrics"].result()
+            mark("metrics_write")
             for t, fut in futures.items():
                 fut.result()
         mark("writes")
@@ -640,6 +696,24 @@ class CrawlEngine:
             "timings": timings,
         }
         self.store.commit_wave(wave, stats, state)
+        # Roll the incremental caches forward with this wave's deltas
+        # (lazy checkpoints — materialized by the next wave's first action;
+        # the plan chain stays one wave deep).
+        fields = schemas.FRONTIER.fieldNames()
+        wave_keys = wave_df.select("url_hash", "retry_count", "seq")
+        self._pending = (
+            pending_base.select(*fields)
+            .join(wave_keys, on=["url_hash", "retry_count", "seq"], how="left_anti")
+            .unionByName(admitted.select(*fields))
+            .unionByName(retry_rows.select(*fields))
+            .localCheckpoint(eager=False)
+        )
+        if cfg.dedup:
+            self._seen = (
+                self._seen_frame()
+                .unionByName(admitted.select("url_hash"))
+                .localCheckpoint(eager=False)
+            )
         for df in wave_caches:
             df.unpersist()
         # Checkpointed wave frames (wave_df, fetch_status, parsed, admitted,

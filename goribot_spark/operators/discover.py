@@ -43,12 +43,17 @@ def host_of(url_col) -> "F.Column":
 
 
 def build_candidates(
-    fetched: DataFrame, wave: int, seq_base: int, cache_registry: list | None = None
+    fetched: DataFrame,
+    wave: int,
+    seq_base: int,
+    cache_registry: list | None = None,
+    small_wave: bool = False,
 ):
     """Fetched+parsed wave → FRONTIER-schema candidate rows (pre-admission).
 
     Returns (candidates_df, n_candidates); seq values occupy
-    [seq_base, seq_base + n_candidates)."""
+    [seq_base, seq_base + n_candidates). ``small_wave`` flips the ranking to
+    the single-partition fast path (same deterministic seq values)."""
     # Children inherit user meta but NOT the parent's request shape: a
     # discovered link is a fresh GET in the reference (ctx.AddTask(Get(u)),
     # goribot.go:163-172 — no header/cookie/body inheritance), so the
@@ -88,6 +93,7 @@ def build_candidates(
         base=seq_base,
         return_total=True,
         cache_registry=cache_registry,
+        single_partition=small_wave,
     )
     return ranked.select(
         "url",

