@@ -28,6 +28,7 @@ from goribot_spark.functions.dedup import (
     with_simhash,
 )
 from goribot_spark.functions.similarity import (
+    ann_topk_ivf,
     ann_topk_lsh,
     as_double,
     cosine_topk,
@@ -314,6 +315,40 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(e, e.where(F.col("vec_id") < 8), dim=64, k=5, num_planes=4)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """ANN top-k via an IVF coarse quantizer (deterministic seeds + one Lloyd
+    step): queries probe the nprobe nearest inverted lists only. The third
+    ANN strategy next to brute force (q_ann_topk) and hyperplane LSH
+    (q_ann_lsh); all math is deterministic, so DuckDB reproduces the
+    centroids, list assignment, and verdicts exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        e, e.where(F.col("vec_id") < 8), k=5, num_centroids=8, nprobe=2
+    )
+
+
+def q_training_set(spark, sf_dir):
+    """End-to-end training-set composer: language filter + quality gate +
+    exact-fingerprint dedup (first doc_id wins), the selection pipeline a
+    pretraining corpus build runs over the crawl output. One shuffle (the
+    fingerprint window); everything else is whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang_pred", "n_tokens", "quality")
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs via 4x16-bit band join + bit_count verify
     (complete for hamming<=3 by pigeonhole)."""
@@ -354,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "training_set": q_training_set,
         "simhash_near_dups": q_simhash_near_dups,
     }
 
@@ -584,6 +621,72 @@ where list_cosine_similarity(a.v, b.v) >= 0.45
 )
 
 
+# IVF coarse quantizer (similarity.ivf_centroids / ann_topk_ivf parity):
+# seeds = vec_id < 8; one Lloyd step (nearest-seed assignment by cosine,
+# ties → lowest centroid_id, then per-cluster component-wise mean, empty
+# clusters keep their seed); final assignment against the refined centroids;
+# queries (vec_id < 8) probe the nprobe=2 nearest lists; exact cosine top-5
+# within the probed lists, ties → ascending neighbor_id.
+_ANN_IVF_SQL = """
+with e as (select vec_id, embedding::DOUBLE[] v from embeddings),
+seeds as (select vec_id centroid_id, v cv from e where vec_id < 8),
+asg1 as (
+  select id, v, centroid_id from (
+    select e.vec_id id, e.v, s.centroid_id,
+      row_number() over (partition by e.vec_id
+        order by list_cosine_similarity(e.v, s.cv) desc, s.centroid_id) rn
+    from e cross join seeds s) where rn = 1
+),
+means as (
+  select centroid_id, list(m order by pos) mv from (
+    select centroid_id, pos, avg(x) m from (
+      select centroid_id, unnest(v) x, generate_subscripts(v, 1) pos from asg1)
+    group by centroid_id, pos)
+  group by centroid_id
+),
+cents as (
+  select s.centroid_id, coalesce(m.mv, s.cv) centroid
+  from seeds s left join means m using (centroid_id)
+),
+lists as (
+  select id neighbor_id, v ev, centroid_id from (
+    select e.vec_id id, e.v, c.centroid_id,
+      row_number() over (partition by e.vec_id
+        order by list_cosine_similarity(e.v, c.centroid) desc, c.centroid_id) rn
+    from e cross join cents c) where rn = 1
+),
+probes as (
+  select query_id, qv, centroid_id from (
+    select q.vec_id query_id, q.v qv, c.centroid_id,
+      row_number() over (partition by q.vec_id
+        order by list_cosine_similarity(q.v, c.centroid) desc, c.centroid_id) rn
+    from e q cross join cents c where q.vec_id < 8) where rn <= 2
+)
+select query_id, neighbor_id,
+  row_number() over (partition by query_id
+    order by list_cosine_similarity(qv, ev) desc, neighbor_id) rank,
+  round(list_cosine_similarity(qv, ev), 4) sim
+from lists join probes using (centroid_id)
+where query_id != neighbor_id
+qualify rank <= 5
+"""
+
+_TRAINING_SET_SQL = f"""
+with l as ({_LANG_SQL}),
+q as ({_QUALITY_SQL}),
+base as (
+  select doc_id,
+    case when length(trim(text)) = 0 then 0 else len({_TOKS}) end n_tokens,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) fp
+  from documents
+)
+select doc_id, lang_pred, n_tokens, quality
+from base join l using (doc_id) join q using (doc_id)
+where lang_pred = 'en' and quality >= 0.5
+qualify row_number() over (partition by fp order by doc_id) = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -688,4 +791,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SIMHASH_PAIRS_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
+        "training_set": _TRAINING_SET_SQL,
     }

@@ -152,6 +152,114 @@ def ann_topk_lsh(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic seed centroids (the num_centroids
+    smallest ids) refined by ONE Lloyd step (assign every vector to its
+    nearest seed by cosine, then per-cluster component-wise mean). Seeds with
+    no assigned vectors keep their seed vector. Fully deterministic — no RNG,
+    no collect of data-scale rows — so the DuckDB oracle reproduces the exact
+    centroid table. Returns (centroid_id, centroid array<double>).
+
+    At 10^10 rows the assignment is a broadcast nested-loop over C small
+    centroids (O(N*C) scans, no shuffle of vectors); the Lloyd averaging
+    shuffles only (cluster, pos, value) triples with map-side partial aggs.
+    """
+    seeds = emb.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).cast("long").alias("centroid_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    assigned = _assign_to_centroids(emb, seeds, id_col, vec_col)
+    # Component-wise mean per cluster: explode (cluster, pos, x), partial-agg
+    # averages, re-pack sorted by pos. Only scalar triples enter the shuffle.
+    means = (
+        assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("mv")
+        )
+    )
+    return seeds.join(means, "centroid_id", "left").select(
+        "centroid_id", F.coalesce("mv", "cv").alias("centroid")
+    )
+
+
+def _assign_to_centroids(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (ties → lowest centroid_id):
+    broadcast the (config-scale) centroid side, keep row 1 of a per-vector
+    window. Returns (id, v, centroid_id)."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    j = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", _dot(F.col("v"), F.col("cv")) / (_norm("v") * _norm("cv"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "v", "centroid_id")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are bucketed into inverted lists by
+    nearest refined centroid; each query scans only its nprobe nearest lists.
+
+    The scan cost drops from O(N*Q) to O(N*Q*nprobe/C) in expectation; the
+    only joins are a broadcast of the C-row centroid table and an equi-join
+    on centroid_id (skew-bounded: list sizes concentrate around N/C, and AQE
+    skew-join splits outliers). Returns (query_id, neighbor_id, rank, sim).
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    lists = _assign_to_centroids(emb, cents.select("centroid_id", F.col("centroid").alias("cv")), id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("ev"), "centroid_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    qp = q.crossJoin(
+        F.broadcast(cents.select("centroid_id", F.col("centroid").alias("cv")))
+    ).withColumn("csim", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv")))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qp.withColumn("_rn", F.row_number().over(wprobe))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    j = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (_norm("qv") * _norm("ev")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     dim: int,
