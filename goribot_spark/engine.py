@@ -365,9 +365,23 @@ class CrawlEngine:
         # strategy at cluster scale.
         use_jar = cfg.cookie_jar and "set_cookies" in self.pages.columns
         fetch_base = wave_df
-        if use_jar:
+        if use_jar and self.store.has_host_state():
+            # Explicit broadcast: the jar is per-host state (hosts-with-
+            # cookies × small maps) — config-scale next to the wave, but big
+            # enough past ~200k hosts to clear the 10MB auto-broadcast bar,
+            # and a plain join then re-shuffles the ENTIRE wave by host on
+            # every wave (measured: the single largest scaling regression
+            # after the jar landed). Broadcast keeps the wave's salt
+            # partitioning intact; a cluster with a truly huge jar would
+            # bucket it by host next to the frontier instead (SCALE.md §1).
             jar = self.store.host_state().withColumnRenamed("cookies", "jar_cookies")
-            fetch_base = wave_df.join(jar, on="host", how="left")
+            fetch_base = wave_df.join(F.broadcast(jar), on="host", how="left")
+        elif use_jar:
+            # No cookies set anywhere yet: same schema, zero plan cost.
+            fetch_base = wave_df.withColumn(
+                "jar_cookies",
+                F.lit(None).cast(schemas.HOST_STATE["cookies"].dataType),
+            )
 
         # OnReq chain (goribot.go:199, 274-282): rewrite or drop scheduled
         # requests just before fetch. Applied to a derived frame so the full

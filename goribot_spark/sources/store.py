@@ -136,6 +136,15 @@ class CrawlStore:
     def seen(self) -> DataFrame:
         return self.read("seen")
 
+    def has_host_state(self) -> bool:
+        """True iff any committed wave wrote a host_state snapshot — an O(1)
+        filesystem probe so crawls where no page ever set a cookie skip the
+        jar join entirely (no per-wave plan cost for an empty state)."""
+        return any(
+            os.path.isdir(self._wave_dir("host_state", w))
+            for w in self.committed_waves()
+        )
+
     def host_state(self) -> DataFrame:
         """Per-host session state (cookie jar analog, net.go:261-263):
         (host, cookies map). STATE table, not a log — the latest committed
