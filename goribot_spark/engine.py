@@ -234,6 +234,56 @@ class CrawlEngine:
             for i, (u, m) in enumerate(zip(urls, metas))
         ]
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
+        return self._seed_commit(df, len(urls), state, seq_base)
+
+    def seed_frame(
+        self,
+        urls: DataFrame,
+        handler_id: str = "extract_links_images",
+        priority: int = 0,
+        order_col: str = "url",
+    ) -> int:
+        """Distributed seeding: a ``url``-column DataFrame becomes frontier
+        rows with NO driver-side per-row work — canonical hash via the
+        Arrow-batched UDF + JVM xxhash64 (identical keys to ``seed``), host
+        via parse_url, deterministic seq ranked by ``order_col``. At a
+        10^10-URL frontier seed lists are tables, not Python lists; ``seed``
+        (list form, with per-row meta) remains for config-scale injection
+        — the list path's driver hashing is measurable serial cost at ~10^5
+        seeds and gone here."""
+        from goribot_spark.canon import with_url_hash
+        from goribot_spark.operators.discover import host_of
+        from goribot_spark.operators.ordering import with_global_rank
+
+        state = self.store.manifest["driver_state"]
+        seq_base = int(state.get("seq_base", 0))
+        base = urls.select("url").where(F.col("url").isNotNull())
+        base = with_url_hash(base, "url", "url_hash").withColumn(
+            "host", host_of(F.col("url"))
+        )
+        ranked, n_urls = with_global_rank(
+            base, [F.col(order_col).asc()], out_col="seq", base=seq_base,
+            return_total=True,
+        )
+        df = ranked.select(
+            "url",
+            "url_hash",
+            "host",
+            F.lit(1).cast("int").alias("depth"),
+            F.lit(priority).cast("int").alias("priority"),
+            F.lit(0).cast("int").alias("discovery_epoch"),
+            "seq",
+            F.lit(0).cast("int").alias("retry_count"),
+            F.lit(None).cast("string").alias("referer"),
+            F.lit(handler_id).alias("handler_id"),
+            F.lit(None).cast(schemas.FRONTIER["meta"].dataType).alias("meta"),
+        )
+        return self._seed_commit(df, n_urls, state, seq_base)
+
+    def _seed_commit(
+        self, df: DataFrame, n_urls: int, state: dict, seq_base: int
+    ) -> int:
+        """Shared admission + commit tail of both seeding paths."""
         df = apply_rule_filters(df, self.cfg.rules, self.cfg.whitelist, self.cfg.max_depth)
         df = apply_robots(df, self.robots, self.cfg.ua) if self.robots is not None else df
         if self.cfg.dedup:
@@ -264,7 +314,7 @@ class CrawlEngine:
                 remaining[rid] = max(0, remaining[rid] - used)
         state.update(
             {
-                "seq_base": seq_base + len(urls),
+                "seq_base": seq_base + n_urls,
                 "max_req_remaining": remaining,
                 "rule_tokens": state.get("rule_tokens", {}),
             }
@@ -610,6 +660,11 @@ class CrawlEngine:
                 .select("host", F.explode("cookies").alias("ck", "cv"))
                 .join(latest.select("host", "ck"), on=["host", "ck"], how="left_anti")
             )
+            # repartition(1), NOT coalesce(1): coalesce collapses every
+            # upstream stage up to the nearest shuffle into one task, so the
+            # map-building agg over all hosts-with-cookies would run single-
+            # threaded; repartition keeps it parallel and only the one-file
+            # write is a single (tiny) task.
             host_state_write = (
                 prev.unionByName(latest)
                 .groupBy("host")
@@ -618,7 +673,7 @@ class CrawlEngine:
                         F.array_sort(F.collect_list(F.struct("ck", "cv")))
                     ).alias("cookies")
                 )
-                .coalesce(1)
+                .repartition(1)
             )
 
         writes = {
@@ -632,7 +687,13 @@ class CrawlEngine:
             "frontier": admitted.select(*schemas.FRONTIER.fieldNames())
             .unionByName(retry_rows.select(*schemas.FRONTIER.fieldNames()))
             .coalesce(_nfiles(admitted_n)),
-            "errors": errors.coalesce(1),
+            # repartition(1), NOT coalesce(1): there is no shuffle between
+            # the fetch_status/parsed scans and this write, so coalesce(1)
+            # made the full wave-wide error filter a single task (a serial
+            # full-frontier scan per wave — measured in the 2-vs-8-core
+            # phase profile); repartition keeps the scan at stage
+            # parallelism and shuffles only the handful of error rows.
+            "errors": errors.repartition(1),
         }
         if cfg.dedup:
             writes["seen"] = admitted.select("url_hash").coalesce(_nfiles(admitted_n))

@@ -110,3 +110,25 @@ def test_streaming_monitor(spark, fx, tmp_path):
     assert len(agg) >= 1
     total_items = sum(r["items"] for r in agg)
     assert total_items == eng.store.read("results").count()
+
+
+def test_seed_frame_equals_seed_list(spark, fx, tmp_path):
+    """Distributed seeding (seed_frame) must crawl identically to the
+    driver-list path (seed): same frontier keys, same fetched set, same
+    item set."""
+    from tests.conftest import crawl, engine_fetched_set, engine_items_set
+
+    urls = ["http://site0.test/p/0", "http://site1.test/p/0"]
+    a = crawl(spark, fx, tmp_path / "list", urls, retry_max=2, max_waves=12)
+    import shutil
+
+    from goribot_spark.engine import CrawlConfig, CrawlEngine
+
+    shutil.rmtree(tmp_path / "frame", ignore_errors=True)
+    b = CrawlEngine(
+        spark, fx, str(tmp_path / "frame"), CrawlConfig(retry_max=2, max_waves=12)
+    )
+    b.seed_frame(spark.createDataFrame([(u,) for u in urls], "url string"))
+    b.run()
+    assert engine_fetched_set(a) == engine_fetched_set(b)
+    assert engine_items_set(a) == engine_items_set(b)
