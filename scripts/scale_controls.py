@@ -1,0 +1,119 @@
+"""Machine-scaling controls for the north-rule measurement (BENCH/*).
+
+Three probes that bound what ANY plan can achieve on this box, run at the
+same process counts as the crawl pairs:
+
+  alu    — pure-register integer loop (no memory traffic): how many
+           genuinely independent cores the VM provides.
+  membw  — streaming 200MB numpy reductions: the SHARED memory-bus
+           ceiling. On a real cluster each node brings its own memory bus
+           (like disks), so this is a single-box artifact, not an engine
+           property.
+  decode — the engine's actual dominant kernel (PNG decode + phash over the
+           bench images via with_decoded) inside Spark at local[N]: where
+           the pipeline's own scaling sits between those two bounds.
+
+Writes BENCH/controls.json. Run uncontended, after the pair runs.
+Usage: python scripts/scale_controls.py [procs...]   (default 1 2 4 8)
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _alu_burn(n: int) -> int:
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _membw_burn(_: int) -> int:
+    import numpy as np
+
+    a = np.random.bytes(100_000_000)
+    b = 0
+    for _ in range(8):
+        b ^= int(np.frombuffer(a, dtype=np.uint64).sum())
+    return b
+
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_CONTROL_REPEATS", "3"))
+
+
+def pool_rate(fn, procs: int, arg: int) -> float:
+    """Best of REPEATS trials: host-steal noise is one-sided (it only adds
+    time), so max-rate estimates the machine's actual capability; single
+    draws were observed 20x apart on this box."""
+    best = 0.0
+    for _ in range(REPEATS):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(fn, [arg] * procs)
+        best = max(best, procs / (time.time() - t0))
+    return best
+
+
+_DECODE_SNIPPET = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from goribot_spark.session import get_spark
+from goribot_spark.functions.imaging import with_decoded
+from pyspark.sql import functions as F
+cpus = {cpus}
+spark = get_spark(app_name="decode-control", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+imgs = spark.read.parquet({fx!r} + "/images.parquet").select("image_id", "bytes")
+big = imgs.crossJoin(spark.range({reps}).select(F.col("id").alias("rep")))
+big = big.repartition(cpus * 2).persist(); n = big.count()
+t0 = time.time()
+with_decoded(big).select(F.sum(F.col("phash").isNotNull().cast("long"))).collect()
+print("RATE", n / (time.time() - t0))
+"""
+
+
+def decode_rate(cpus: int, fx: str, reps: int = 30) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", _DECODE_SNIPPET.format(repo=REPO, cpus=cpus, fx=fx, reps=reps)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RATE")][-1]
+    return float(line.split()[1])
+
+
+def main() -> None:
+    procs = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    fx = os.environ.get("SPARK_GRAFT_BENCH_FX", "/tmp/goribot_scaling_fx")
+    out = {"procs": procs, "alu": {}, "membw": {}, "decode_per_sec": {}}
+    for p in procs:
+        out["alu"][str(p)] = round(pool_rate(_alu_burn, p, 30_000_000), 3)
+        out["membw"][str(p)] = round(pool_rate(_membw_burn, p, 0), 3)
+    if os.path.isdir(os.path.join(fx)):
+        for p in procs:
+            out["decode_per_sec"][str(p)] = round(
+                max(decode_rate(p, fx) for _ in range(REPEATS)), 1
+            )
+    for k in ("alu", "membw", "decode_per_sec"):
+        v = out[k]
+        lo, hi = str(procs[0]), str(procs[-1])
+        if lo in v and hi in v and v[lo]:
+            out[f"{k}_speedup_{lo}to{hi}"] = round(v[hi] / v[lo], 2)
+    path = os.path.join(REPO, "BENCH", "controls.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
