@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goribot_spark.functions.dedup import (
+    connected_components,
     exact_dup_groups,
     lsh_candidate_pairs,
     minhash_signature,
@@ -308,6 +309,21 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup *clusters*: the minhash_lsh_pairs edge list contracted to
+    connected components (alternating large-star/small-star), one row per
+    involved doc with its component's canonical (min) doc_id. This is the
+    step a real dedup pipeline runs after pair generation: keep
+    ``component_id``, drop the rest."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
+    verified = ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.5)
+    comp = connected_components(verified)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """ANN top-k via hyperplane-bucket equi-join (the scale path; buckets
     from deterministic md5-parity hyperplanes, oracled in DuckDB)."""
@@ -388,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": q_emb_norms,
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "training_set": q_training_set,
@@ -511,6 +528,31 @@ j as (
 )
 select id_a, id_b, jaccard from j where jaccard >= 0.5
 """.format(toks=_TOKS, shingles=_SHINGLES)
+
+# Connected components over the exact same verified pair set: recursive
+# transitive closure (fine at oracle scale; the Spark side uses the
+# O(log^2 n) star-contraction instead). component_id = min id reachable.
+_TAIL = "select id_a, id_b, jaccard from j where jaccard >= 0.5"
+assert _TAIL in _MINHASH_LSH_SQL
+_COMPONENTS_SQL = _MINHASH_LSH_SQL.replace("with toks", "with recursive toks", 1).replace(
+    _TAIL,
+    """, pairs as (
+  select id_a, id_b from j where jaccard >= 0.5
+),
+edges as (
+  select id_a u, id_b v from pairs
+  union
+  select id_b u, id_a v from pairs
+),
+reach as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u where e.v <> r.u
+)
+select u doc_id, least(u, min(v)) component_id from reach group by u
+""",
+    1,
+)
 
 # SimHash core: per-token md5-prefix little-endian uint64 → per-bit ±1
 # accumulation → sign bits packed into a 64-bit value. Matches
@@ -790,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _SIMHASH_SQL,
         "simhash_near_dups": _SIMHASH_PAIRS_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "dedup_components": _COMPONENTS_SQL,
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "training_set": _TRAINING_SET_SQL,

@@ -261,3 +261,102 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# -- connected components over near-dup pairs -------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: ``(node, comp)`` where
+    ``comp`` is the minimum id of the node's connected component.
+
+    LSH/SimHash emit *pairs*; a dedup pipeline needs *clusters* (keep one
+    canonical doc per component, drop the rest). Transitive closure matters:
+    A~B and B~C puts A and C in one cluster even if the pair (A,C) was never
+    emitted.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014): each round
+    is two groupBy-min shuffles over the edge list, converging in
+    O(log^2 n) rounds regardless of component diameter — unlike plain
+    min-label propagation, whose round count is the graph diameter (a
+    10^6-long chain would need 10^6 shuffles). Near-dup graphs are mostly
+    dense LSH-bucket cliques, which collapse in 1-2 rounds.
+
+    Scale notes: only (long, long) edge pairs ever shuffle; each round ends
+    in ``localCheckpoint`` to truncate lineage (the engine's wave pattern,
+    engine.py) so Catalyst never replans the full iteration history. The
+    per-round convergence probe is one count/sum aggregate action —
+    config-scale, not a data collect. Equal (count, sum, sum) signatures on
+    consecutive rounds is the stop condition; at true convergence the edge
+    set is literally unchanged, so the signature test is exact up to an
+    astronomically unlikely collision, and ``max_iter`` bounds the loop
+    regardless.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: for every node u, attach its strictly-larger
+        # neighbors to m = min(N(u) ∪ {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges large→small, attach each node's smaller
+        # neighbors (and itself) to the minimum of that neighborhood.
+        dir_ = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            dir_.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        sig = (row["n"], row["su"], row["sv"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # At convergence e is a star set (node → component-min root); roots have
+    # no outgoing edge and label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        nodes.join(labels, nodes["u"] == labels["node"], "left")
+        .select(F.col("u").alias("node"), F.coalesce("comp", F.col("u")).alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+
+
+def dedup_component_summary(comp: DataFrame) -> DataFrame:
+    """One row per multi-doc component: canonical (min) id + member count.
+    The drop-set for dedup is every node with ``node != comp``."""
+    return (
+        comp.groupBy(F.col("comp").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
