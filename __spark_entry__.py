@@ -36,6 +36,7 @@ from goribot_spark.functions.similarity import (
     embedding_near_dups,
     embedding_near_dups_exact,
 )
+from goribot_spark.functions.sampling import cap_per_source, hash_split
 from goribot_spark.functions.text import (
     fingerprint,
     lang_id,
@@ -365,6 +366,24 @@ def q_training_set(spark, sf_dir):
     )
 
 
+def q_corpus_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5-bucket of doc_id,
+    90/5/5): stable under corpus growth, partitioning, and re-runs —
+    unlike randomSplit. Pure JVM md5 + whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_source_capped(spark, sf_dir):
+    """Per-source rebalancing: keep the 40 longest docs (n_chars desc,
+    doc_id tiebreak) per source so no domain dominates the mixture. One
+    shuffle on the source key."""
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_source(
+        d, "source", cap=40, order_exprs=[F.col("n_chars").desc(), F.col("doc_id")]
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs via 4x16-bit band join + bit_count verify
     (complete for hamming<=3 by pigeonhole)."""
@@ -408,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "training_set": q_training_set,
+        "corpus_splits": q_corpus_splits,
+        "source_capped": q_source_capped,
         "simhash_near_dups": q_simhash_near_dups,
     }
 
@@ -836,4 +857,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "training_set": _TRAINING_SET_SQL,
+        "corpus_splits": """
+            with b as (
+              select doc_id,
+                ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 4))::INT % 100 bucket
+              from documents
+            )
+            select doc_id,
+              case when bucket < 90 then 'train'
+                   when bucket < 95 then 'val'
+                   else 'test' end split
+            from b
+        """,
+        "source_capped": """
+            select doc_id, source, n_chars from documents
+            qualify row_number() over (
+              partition by source order by n_chars desc, doc_id) <= 40
+        """,
     }
