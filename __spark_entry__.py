@@ -20,11 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goribot_spark.functions.dedup import (
+    LSH_BUCKET_CAP,
     connected_components,
     exact_dup_groups,
-    lsh_candidate_pairs,
+    minhash_near_dups,
     minhash_signature,
-    ngram_jaccard,
     simhash_near_dups,
     with_simhash,
 )
@@ -259,13 +259,16 @@ def q_exact_dup_groups(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs — the first-class SCALE path: LSH
-    hyperplane bucketing + exact cosine verify within buckets (equi-join on
-    the bucket key, never an all-pairs cross join). The md5-derived
-    hyperplanes are deterministic, so the DuckDB oracle reproduces the exact
-    candidate set and verdicts."""
+    """Embedding-cosine near-dup pairs — the first-class SCALE path: banded
+    hyperplane LSH (2 independent tables — OR-construction recall) + a
+    broadcast bucket cap + exact cosine verify on the distinct candidate
+    pairs (equi-join on (table, bucket), never an all-pairs cross join). The
+    md5-derived hyperplanes are deterministic, so the DuckDB oracle
+    reproduces the exact candidate set and verdicts."""
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, dim=64, threshold=0.45, num_planes=4)
+    return embedding_near_dups(
+        e, dim=64, threshold=0.45, num_planes=4, num_tables=2, bucket_cap=1024
+    )
 
 
 def q_embedding_neardup_exact_audit(spark, sf_dir):
@@ -301,13 +304,14 @@ def q_simhash_docs(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Full MinHash-LSH near-dup pipeline: banded-signature candidate join +
-    exact Jaccard verify. The minhash bands are deterministic md5 math, so
-    the 'probabilistic' recall is a fixed function of the data — DuckDB
+    """Full MinHash-LSH near-dup pipeline: banded-signature candidate join
+    (null signatures excluded, buckets capped at LSH_BUCKET_CAP) + exact
+    Jaccard verify, sharing ONE persisted shingle frame between signature
+    and verify stages. The minhash bands are deterministic md5 math, so the
+    'probabilistic' recall is a fixed function of the data — DuckDB
     reproduces the identical candidate set and verdicts."""
     d = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
-    return ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.5)
+    return minhash_near_dups(d, threshold=0.5, num_hashes=16, bands=4, shingle_n=3)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -317,8 +321,7 @@ def q_dedup_components(spark, sf_dir):
     step a real dedup pipeline runs after pair generation: keep
     ``component_id``, drop the rest."""
     d = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
-    verified = ngram_jaccard(d, pairs).where(F.col("jaccard") >= 0.5)
+    verified = minhash_near_dups(d, threshold=0.5, num_hashes=16, bands=4, shingle_n=3)
     comp = connected_components(verified)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
@@ -326,21 +329,25 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """ANN top-k via hyperplane-bucket equi-join (the scale path; buckets
-    from deterministic md5-parity hyperplanes, oracled in DuckDB)."""
+    """ANN top-k via hyperplane-bucket equi-join over 2 independent tables
+    (banded OR-construction — recall 1-(1-p^r)^b; buckets from deterministic
+    md5-parity hyperplanes, oracled in DuckDB)."""
     e = _t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(e, e.where(F.col("vec_id") < 8), dim=64, k=5, num_planes=4)
+    return ann_topk_lsh(
+        e, e.where(F.col("vec_id") < 8), dim=64, k=5, num_planes=4, num_tables=2
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
-    """ANN top-k via an IVF coarse quantizer (deterministic seeds + one Lloyd
-    step): queries probe the nprobe nearest inverted lists only. The third
-    ANN strategy next to brute force (q_ann_topk) and hyperplane LSH
+    """ANN top-k via an IVF coarse quantizer (hash-sampled seeds + two Lloyd
+    steps): queries probe the nprobe=3 nearest inverted lists only. The
+    third ANN strategy next to brute force (q_ann_topk) and hyperplane LSH
     (q_ann_lsh); all math is deterministic, so DuckDB reproduces the
     centroids, list assignment, and verdicts exactly."""
     e = _t(spark, sf_dir, "embeddings")
     return ann_topk_ivf(
-        e, e.where(F.col("vec_id") < 8), k=5, num_centroids=8, nprobe=2
+        e, e.where(F.col("vec_id") < 8), k=5, num_centroids=8, nprobe=3,
+        lloyd_iters=2,
     )
 
 
@@ -512,10 +519,13 @@ where a.doc_id < b.doc_id
 """.format(toks=_TOKS, shingles=_SHINGLES, cap=FP8_BUCKET_CAP)
 
 # MinHash-LSH candidate pairs + exact-Jaccard verify, bit-identical to
-# lsh_candidate_pairs + ngram_jaccard (num_hashes=16, bands=4, rows=4):
-# sig[i] = min over shingles of first-15-hex-digits of md5(i||':'||shingle);
-# band key = comma-joined 4-slice of the signature (all-null → '' exactly
-# like Spark's concat_ws over nulls); candidates join per (band, key).
+# minhash_near_dups (num_hashes=16, bands=4, rows=4): sig[i] = min over
+# shingles of first-15-hex-digits of md5(i||':'||shingle); band key =
+# comma-joined 4-slice of the signature. Docs with NO shingles (< n tokens)
+# are excluded before banding — their all-null signatures would otherwise
+# collapse into one degenerate '' band bucket — and band buckets holding
+# more than LSH_BUCKET_CAP docs are dropped entirely (the broadcast-anti-join
+# cap in dedup._drop_overfull); candidates join per (band, key).
 _MINHASH_LSH_SQL = """
 with toks as (select doc_id, {toks} w from documents),
 sh as (
@@ -526,12 +536,13 @@ sig as (
   select doc_id,
     [list_min([('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::BIGINT for x in s])
      for i in generate_series(0, 15)] sig
-  from sh
+  from sh where len(s) > 0
 ),
 bands as (
   select doc_id, b.b band_id,
-    coalesce(array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ','), '') band_key
+    array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ',') band_key
   from sig cross join (select unnest(generate_series(0, 3)) b) b
+  qualify count(*) over (partition by b.b, band_key) <= {cap}
 ),
 cand as (
   select distinct a.doc_id id_a, b.doc_id id_b
@@ -548,7 +559,7 @@ j as (
   join sh sb on sb.doc_id = id_b
 )
 select id_a, id_b, jaccard from j where jaccard >= 0.5
-""".format(toks=_TOKS, shingles=_SHINGLES)
+""".format(toks=_TOKS, shingles=_SHINGLES, cap=LSH_BUCKET_CAP)
 
 # Connected components over the exact same verified pair set: recursive
 # transitive closure (fine at oracle scale; the Spark side uses the
@@ -620,13 +631,18 @@ from full_sim
 
 # SimHash near-dup pairs: 4x16-bit band equi-join + bit_count(xor) verify —
 # same pigeonhole-complete candidate generation as dedup.simhash_near_dups.
+# Empty docs (simhash 0) are excluded before banding (every one would land
+# in band_val 0 of all 4 bands — one degenerate quadratic bucket), and band
+# buckets over LSH_BUCKET_CAP docs are dropped, mirroring _drop_overfull.
 _SIMHASH_PAIRS_SQL = (
     "with "
     + _SIMHASH_CORE
-    + """
+    + f"""
 , bands as (
   select doc_id, uv, b.b band_id, (uv >> (16 * b.b)) & 65535 band_val
   from full_sim cross join (select unnest(generate_series(0, 3)) b) b
+  where uv != 0
+  qualify count(*) over (partition by b.b, band_val) <= {LSH_BUCKET_CAP}
 )
 select distinct a.doc_id id_a, b.doc_id id_b,
   bit_count(xor(a.uv, b.uv))::INT hamming
@@ -635,13 +651,15 @@ where a.doc_id < b.doc_id and bit_count(xor(a.uv, b.uv)) <= 3
 """
 )
 
-# Random-hyperplane LSH bucket (similarity._hyperplane_sign parity): plane p
-# component i is +1 iff the first hex byte of md5(p||':'||i) is even; bucket
-# = the num_planes sign bits, first plane most significant. `buck` =
-# (vec_id, v DOUBLE[], bucket BIGINT) for dim=64, planes=4.
+# Random-hyperplane LSH buckets (similarity.with_lsh_tables parity): global
+# plane p component i is +1 iff the first hex byte of md5(p||':'||i) is even;
+# table t = p // 4 uses planes 4t..4t+3, bucket = that table's 4 sign bits,
+# first plane most significant (the banded OR-construction — a pair is a
+# candidate if it collides in ANY table). `buck` = one row per (vec_id,
+# table_id) with (v DOUBLE[], bucket BIGINT) for dim=64, planes=4, tables=2.
 _LSH_BUCKET_CTE = """
 e as (select vec_id, embedding::DOUBLE[] v from embeddings),
-planes as (select unnest(generate_series(0, 3)) p),
+planes as (select unnest(generate_series(0, 7)) p),
 sgn as (
   select vec_id, v, p,
     case when list_sum([
@@ -651,8 +669,9 @@ sgn as (
   from e cross join planes
 ),
 buck as (
-  select vec_id, any_value(v) v, sum(s * (1::BIGINT << (3 - p)))::BIGINT bucket
-  from sgn group by vec_id
+  select vec_id, any_value(v) v, p // 4 table_id,
+    sum(s * (1::BIGINT << (3 - (p % 4))))::BIGINT bucket
+  from sgn group by vec_id, p // 4
 )
 """
 
@@ -660,39 +679,63 @@ _ANN_LSH_SQL = (
     "with "
     + _LSH_BUCKET_CTE
     + """
-, q as (select vec_id query_id, v qv, bucket from buck where vec_id < 8),
-n as (select vec_id neighbor_id, v ev, bucket from buck)
+, q as (select vec_id query_id, v qv, table_id, bucket from buck where vec_id < 8),
+n as (select vec_id neighbor_id, v ev, table_id, bucket from buck),
+cand as (
+  select query_id, neighbor_id, any_value(qv) qv, any_value(ev) ev
+  from q join n using (table_id, bucket)
+  where query_id != neighbor_id
+  group by query_id, neighbor_id
+)
 select query_id, neighbor_id,
   row_number() over (partition by query_id
     order by list_cosine_similarity(qv, ev) desc, neighbor_id) rank,
   round(list_cosine_similarity(qv, ev), 4) sim
-from q join n using (bucket)
-where query_id != neighbor_id
+from cand
 qualify rank <= 5
 """
 )
 
+# Overfull (table, bucket) groups beyond the cap are dropped before the
+# self-join (mirror of similarity.embedding_near_dups's _drop_overfull).
 _NEARDUP_LSH_SQL = (
     "with "
-    + _LSH_BUCKET_CTE
+    + _LSH_BUCKET_CTE.replace(
+        "group by vec_id, p // 4\n)",
+        "group by vec_id, p // 4\n"
+        "  qualify count(*) over (partition by table_id, bucket) <= 1024\n)",
+    )
     + """
-select a.vec_id id_a, b.vec_id id_b,
-  round(list_cosine_similarity(a.v, b.v), 4) sim
-from buck a join buck b on a.bucket = b.bucket and a.vec_id < b.vec_id
-where list_cosine_similarity(a.v, b.v) >= 0.45
+, cand as (
+  select distinct a.vec_id id_a, b.vec_id id_b
+  from buck a join buck b on a.table_id = b.table_id and a.bucket = b.bucket
+  where a.vec_id < b.vec_id
+)
+select id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) sim
+from cand join e ea on ea.vec_id = id_a join e eb on eb.vec_id = id_b
+where list_cosine_similarity(ea.v, eb.v) >= 0.45
 """
 )
+assert "qualify count(*) over (partition by table_id, bucket)" in _NEARDUP_LSH_SQL
 
 
 # IVF coarse quantizer (similarity.ivf_centroids / ann_topk_ivf parity):
-# seeds = vec_id < 8; one Lloyd step (nearest-seed assignment by cosine,
-# ties → lowest centroid_id, then per-cluster component-wise mean, empty
-# clusters keep their seed); final assignment against the refined centroids;
-# queries (vec_id < 8) probe the nprobe=2 nearest lists; exact cosine top-5
-# within the probed lists, ties → ascending neighbor_id.
+# seeds = the 8 vectors with the smallest md5('seed:'||id) — a deterministic
+# uniform hash-sample over the corpus (NOT the lowest ids, which would bias
+# the quantizer to whatever the first rows happen to be); one Lloyd step
+# (nearest-seed assignment by cosine, ties → lowest centroid_id, then
+# per-cluster component-wise mean, empty clusters keep their seed); final
+# assignment against the refined centroids; queries (vec_id < 8) probe the
+# nprobe=2 nearest lists; exact cosine top-5 within the probed lists, ties →
+# ascending neighbor_id.
 _ANN_IVF_SQL = """
 with e as (select vec_id, embedding::DOUBLE[] v from embeddings),
-seeds as (select vec_id centroid_id, v cv from e where vec_id < 8),
+seeds as (
+  select centroid_id, cv from (
+    select vec_id centroid_id, v cv,
+      row_number() over (order by md5('seed:' || vec_id::VARCHAR), vec_id) rn
+    from e) where rn <= 8
+),
 asg1 as (
   select id, v, centroid_id from (
     select e.vec_id id, e.v, s.centroid_id,
@@ -700,16 +743,34 @@ asg1 as (
         order by list_cosine_similarity(e.v, s.cv) desc, s.centroid_id) rn
     from e cross join seeds s) where rn = 1
 ),
-means as (
+means1 as (
   select centroid_id, list(m order by pos) mv from (
     select centroid_id, pos, avg(x) m from (
       select centroid_id, unnest(v) x, generate_subscripts(v, 1) pos from asg1)
     group by centroid_id, pos)
   group by centroid_id
 ),
-cents as (
+cents1 as (
   select s.centroid_id, coalesce(m.mv, s.cv) centroid
-  from seeds s left join means m using (centroid_id)
+  from seeds s left join means1 m using (centroid_id)
+),
+asg2 as (
+  select id, v, centroid_id from (
+    select e.vec_id id, e.v, c.centroid_id,
+      row_number() over (partition by e.vec_id
+        order by list_cosine_similarity(e.v, c.centroid) desc, c.centroid_id) rn
+    from e cross join cents1 c) where rn = 1
+),
+means2 as (
+  select centroid_id, list(m order by pos) mv from (
+    select centroid_id, pos, avg(x) m from (
+      select centroid_id, unnest(v) x, generate_subscripts(v, 1) pos from asg2)
+    group by centroid_id, pos)
+  group by centroid_id
+),
+cents as (
+  select c1.centroid_id, coalesce(m.mv, c1.centroid) centroid
+  from cents1 c1 left join means2 m using (centroid_id)
 ),
 lists as (
   select id neighbor_id, v ev, centroid_id from (
@@ -723,7 +784,7 @@ probes as (
     select q.vec_id query_id, q.v qv, c.centroid_id,
       row_number() over (partition by q.vec_id
         order by list_cosine_similarity(q.v, c.centroid) desc, c.centroid_id) rn
-    from e q cross join cents c where q.vec_id < 8) where rn <= 2
+    from e q cross join cents c where q.vec_id < 8) where rn <= 3
 )
 select query_id, neighbor_id,
   row_number() over (partition by query_id

@@ -18,6 +18,31 @@ from pyspark.sql.types import LongType
 
 from goribot_spark.functions.text import fingerprint, md5_long, tokens, word_shingles
 
+# Band/bucket self-joins larger than this are dropped from every LSH
+# candidate generator (minhash bands, simhash bands, embedding hyperplane
+# buckets). Degenerate keys concentrate in single buckets BY CONSTRUCTION —
+# every <n-token doc has an all-null minhash signature, every empty doc has
+# simhash 0 — and on a real corpus millions of empty/boilerplate rows in one
+# bucket go quadratic. Overfull buckets are rare (they ARE the skew), so the
+# exclusion list broadcasts; verbatim duplicates inside a dropped bucket are
+# still collapsed by the exact-fingerprint path (exact_dup_groups).
+LSH_BUCKET_CAP = 64
+
+
+def _drop_overfull(banded: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Anti-join away rows whose band/bucket key holds more than ``cap``
+    members. The over-cap list is a per-key count (map-side partial agg, only
+    key+count shuffle) broadcast back — the FP8_BUCKET_CAP pattern."""
+    if cap is None:
+        return banded
+    over = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cap)
+        .select(*key_cols)
+    )
+    return banded.join(F.broadcast(over), key_cols, "left_anti")
+
 
 # -- exact dedup ------------------------------------------------------------
 
@@ -77,41 +102,71 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 1
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, self-join on
-    (band_id, band_key). Only (id, band, key) rows shuffle; pair explosion is
-    bounded per bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
-    rows_per_band = num_hashes // bands
-    sigd = minhash_signature(
-        df.select(id_col, text_col), text_col, num_hashes, shingle_n, id_col=id_col
-    )
-    banded = sigd.select(
+    """(id, sh) distinct word-shingle sets — the shared input of both LSH
+    signature generation AND exact Jaccard verify. Build it once (and
+    ``persist`` it in pipelines that use both) instead of re-tokenizing the
+    corpus per stage: at 100 TB the shingle build is the dominant scan cost
+    and must not run twice."""
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+
+
+def _signature_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from a (id, sh) shingle frame: explode once, hash each
+    (i, shingle) pair, min per doc — only (id, hash) rows shuffle."""
+    ex = sh_df.select("id", F.explode_outer("sh").alias("_shingle"))
+    mins = [
+        F.min(
+            F.when(
+                F.col("_shingle").isNotNull(),
+                md5_long(F.concat(F.lit(f"{i}:"), F.col("_shingle"))),
             )
-        ).alias("bk"),
-    ).select("id", "bk.band_id", "bk.band_key")
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _banded_pairs(
+    sigd: DataFrame, num_hashes: int, bands: int, bucket_cap: int | None
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from a (id, sig) frame: drop
+    all-null signatures (docs with no shingles — the degenerate '' band key
+    that collapses every short/empty doc into one quadratic bucket), band,
+    cap overfull buckets, self-join per (band_id, band_key)."""
+    rows_per_band = num_hashes // bands
+    banded = (
+        sigd.where(F.col("sig")[0].isNotNull())
+        .select(
+            F.col("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "bk.band_id", "bk.band_key")
+    )
+    banded = _drop_overfull(banded, ["band_id", "band_key"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -120,6 +175,25 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, self-join on
+    (band_id, band_key). Only (id, band, key) rows shuffle; pair explosion is
+    bounded per bucket by ``bucket_cap`` (overfull buckets dropped, all-null
+    signatures excluded). Returns (id_a, id_b) with id_a < id_b, distinct."""
+    sigd = _signature_from_shingles(
+        shingle_sets(df, id_col, text_col, shingle_n), num_hashes
+    )
+    return _banded_pairs(sigd, num_hashes, bands, bucket_cap)
 
 
 def ngram_jaccard(
@@ -133,10 +207,14 @@ def ngram_jaccard(
 
     Joins each side's distinct shingle set (arrays stay columnar; the
     intersect/union runs JVM-side per pair)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
+    return ngram_jaccard_from_shingles(sh, pairs)
+
+
+def ngram_jaccard_from_shingles(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard verify against a pre-built (id, sh) shingle frame —
+    lets the near-dup pipeline share ONE shingle build between signature
+    generation and verification."""
     out = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -155,11 +233,22 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
-    **kw,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard → threshold."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col, **kw)
-    return ngram_jaccard(df, pairs, id_col, text_col).where(F.col("jaccard") >= threshold)
+    """Full near-dup pipeline: LSH candidates → exact Jaccard → threshold.
+
+    The (id, sh) shingle frame is built ONCE and persisted, feeding both the
+    signature stage and the Jaccard verify — previously each stage re-ran
+    tokenize+shingle over the corpus (the dominant scan cost; sharing it
+    halves the pipeline's heaviest stage). The persist is released by Spark's
+    ContextCleaner when the returned plan's reference drops."""
+    sh = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sigd = _signature_from_shingles(sh, num_hashes)
+    pairs = _banded_pairs(sigd, num_hashes, bands, bucket_cap)
+    return ngram_jaccard_from_shingles(sh, pairs).where(F.col("jaccard") >= threshold)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -221,14 +310,22 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into 4x16-bit bands
     and self-join on (band_id, band_value) — by pigeonhole, any pair with
     hamming distance <= 3 shares at least one of 4 bands — then verify with
     ``bit_count(a XOR b) <= max_hamming`` JVM-side. Only (id, band) rows
-    shuffle, never texts; per-band buckets bound the pair explosion the same
-    way LSH bands do. Returns (id_a, id_b, hamming) with id_a < id_b."""
-    sh = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    shuffle, never texts. Empty docs (simhash 0 — every one of them would
+    land in band_val 0 of all 4 bands, a single quadratic bucket on a real
+    corpus) are excluded, and overfull band buckets are dropped via the
+    broadcast ``bucket_cap`` anti-join. Returns (id_a, id_b, hamming) with
+    id_a < id_b."""
+    sh = (
+        with_simhash(df.select(id_col, text_col), text_col)
+        .select(id_col, "simhash")
+        .where(F.col("simhash") != 0)
+    )
     banded = sh.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
@@ -246,6 +343,7 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band_id", "bk.band_val")
+    banded = _drop_overfull(banded, ["band_id", "band_val"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -289,15 +387,22 @@ def connected_components(
     dense LSH-bucket cliques, which collapse in 1-2 rounds.
 
     Scale notes: only (long, long) edge pairs ever shuffle; each round ends
-    in ``localCheckpoint`` to truncate lineage (the engine's wave pattern,
-    engine.py) so Catalyst never replans the full iteration history. The
-    per-round convergence probe is one count/sum aggregate action —
-    config-scale, not a data collect. Equal (count, sum, sum) signatures on
-    consecutive rounds is the stop condition; at true convergence the edge
-    set is literally unchanged, so the signature test is exact up to an
-    astronomically unlikely collision, and ``max_iter`` bounds the loop
-    regardless.
+    in a LAZY ``localCheckpoint`` to truncate lineage (the engine's wave
+    pattern, engine.py) so Catalyst never replans the full iteration history.
+    Driver-synchronous cost is ONE job per probed round: the convergence
+    probe (a count/sum aggregate — config-scale, not a data collect) is the
+    action that materializes the round's checkpoint, and the first two
+    rounds are not probed at all (convergence cannot be detected before two
+    consecutive signatures exist, and LSH-clique graphs collapse in 1-2
+    rounds) — their contractions fuse into round 2's job as one pipeline.
+    Equal (count, sum, sum) signatures on consecutive rounds is the stop
+    condition; at true convergence the edge set is literally unchanged, so
+    the signature test is exact up to an astronomically unlikely collision.
+    ``max_iter`` bounds the loop regardless — exhausting it without a stable
+    signature means the labels may not be fully contracted, so that raises a
+    ``RuntimeWarning`` instead of silently returning.
     """
+    import warnings
     e = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -307,7 +412,8 @@ def connected_components(
     )
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     prev_sig = None
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         # large-star: for every node u, attach its strictly-larger
         # neighbors to m = min(N(u) ∪ {u}).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -332,15 +438,26 @@ def connected_components(
             .union(mins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        if it < 2:
+            continue  # no action: this round's work fuses into the next job
+        # ONE action: the aggregate materializes the lazy checkpoint (and any
+        # unprobed rounds before it) and returns the signature.
         row = e.agg(
             F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
         ).collect()[0]
         sig = (row["n"], row["su"], row["sv"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components: signature did not stabilize within "
+            f"max_iter={max_iter} rounds; component labels may be incomplete",
+            RuntimeWarning,
+        )
     # At convergence e is a star set (node → component-min root); roots have
     # no outgoing edge and label themselves.
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))

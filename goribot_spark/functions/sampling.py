@@ -48,24 +48,46 @@ def cap_per_source(
     source_col: str = "source",
     cap: int = 40,
     order_exprs=None,
+    salt_col: str = "doc_id",
+    num_salts: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per source, ranked by ``order_exprs``
-    (default: ascending id). Pass a unique final expression so selection
-    is deterministic.
+    (default: ascending id; pass a unique final expression so selection is
+    deterministic).
 
-    One shuffle on the source key; at 100 TB the heavy-source groups this
-    exists to suppress are exactly the window's skew risk, so rank with
-    the 2-level trick if a single source exceeds executor memory — at
-    that point the cheaper plan is a pre-filter: count per source
-    (map-side combine), broadcast the over-cap source list, and only
-    window those. Documented rather than implemented: the cap output is
-    ≤ cap × n_sources rows either way.
+    Two-level skew-safe plan — the heavy sources are precisely the rows this
+    operator exists to suppress, so a naive per-source window would put the
+    hottest group on one partition:
+
+      1. Count rows per source (map-side combine — only (source, count)
+         pairs shuffle) and broadcast the over-cap source list.
+      2. Under-cap sources pass through UNTOUCHED via a broadcast anti-join —
+         no window, no shuffle of their rows (they are ≤ cap by count, so
+         every row survives).
+      3. Over-cap sources are pruned in two windows: first a salted local
+         top-``cap`` per (source, salt-of-``salt_col``) — bounding any one
+         window partition to ~rows/num_salts — then the global top-``cap``
+         per source over the ≤ cap×num_salts survivors. Any global top-cap
+         row is top-cap within its salt, so the composition is exact.
+
+    Output rows are identical to the single-window plan; only the physical
+    shape changes.
     """
     if order_exprs is None:
         order_exprs = [F.col("doc_id")]
-    w = Window.partitionBy(source_col).orderBy(*order_exprs)
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= cap)
-        .drop("rn")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.where(F.col("_n") > cap).select(source_col)
+    light = df.join(F.broadcast(over), source_col, "left_anti")
+    heavy = df.join(F.broadcast(over), source_col, "left_semi")
+    w_local = Window.partitionBy(
+        source_col, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(num_salts))
+    ).orderBy(*order_exprs)
+    w_global = Window.partitionBy(source_col).orderBy(*order_exprs)
+    capped = (
+        heavy.withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= cap)
+        .withColumn("_grn", F.row_number().over(w_global))
+        .where(F.col("_grn") <= cap)
+        .drop("_lrn", "_grn")
     )
+    return light.unionByName(capped)

@@ -14,6 +14,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Default (table, bucket) size bound for embedding near-dup candidate
+# generation. With 2^num_planes buckets per table the cap must sit WELL above
+# the expected bucket size (N / 2^planes) — it exists to drop *degenerate*
+# concentrations (zero/constant embeddings all hashing to one bucket), not to
+# trim healthy buckets; deployments should scale num_planes with corpus size
+# so expected bucket size stays bounded, and keep the cap ~one order above it.
+EMB_BUCKET_CAP = 1024
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -95,16 +104,46 @@ def _hyperplane_sign(vec, plane_idx: int, dim: int):
 
 
 def with_lsh_bucket(
-    df: DataFrame, dim: int, num_planes: int = 8, vec_col: str = "embedding"
+    df: DataFrame, dim: int, num_planes: int = 8, vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """Attach a ``bucket`` int: num_planes-bit random-hyperplane signature.
     Cosine-similar vectors collide with high probability (Charikar SimHash
-    for real vectors)."""
+    for real vectors). ``table`` selects an independent hyperplane set
+    (table t uses plane indices t*num_planes .. t*num_planes+num_planes-1)
+    for the banded OR-construction below."""
     v = as_double(F.col(vec_col))
     bucket = F.lit(0)
     for p in range(num_planes):
-        bucket = bucket * 2 + _hyperplane_sign(v, p, dim)
+        bucket = bucket * 2 + _hyperplane_sign(v, table * num_planes + p, dim)
     return df.withColumn("bucket", bucket)
+
+
+def with_lsh_tables(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 4,
+    vec_col: str = "embedding",
+    num_tables: int = 2,
+) -> DataFrame:
+    """Explode each row into ``num_tables`` (table_id, bucket) entries, one
+    per independent hyperplane table — the OR-construction: a pair is a
+    candidate if it agrees on ALL planes of ANY table, so recall is
+    1-(1-p^r)^b (tunable via num_tables/num_planes) instead of the single-
+    table p^r cliff. Same banded shape as minhash LSH; buckets stay
+    deterministic md5 math so a SQL oracle reproduces them."""
+    v = as_double(F.col(vec_col))
+    entries = []
+    for t in range(num_tables):
+        b = F.lit(0)
+        for p in range(num_planes):
+            b = b * 2 + _hyperplane_sign(v, t * num_planes + p, dim)
+        entries.append(
+            F.struct(F.lit(t).alias("table_id"), b.cast("long").alias("bucket"))
+        )
+    return df.select(
+        *df.columns, F.explode(F.array(*entries)).alias("_tb")
+    ).select(*df.columns, "_tb.table_id", "_tb.bucket")
 
 
 def ann_topk_lsh(
@@ -115,34 +154,50 @@ def ann_topk_lsh(
     num_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only compare vectors sharing an LSH bucket.
+    """Approximate top-k: only compare vectors sharing an LSH bucket in at
+    least one of ``num_tables`` independent hyperplane tables (banded
+    OR-construction — recall 1-(1-p^r)^b, tunable; num_tables=1 is the
+    classic single-table variant).
 
-    The equi-join on ``bucket`` replaces the cross join — at scale this is a
-    shuffle on a low-cardinality key with AQE skew handling; recall is tuned
-    by num_planes (fewer planes → bigger buckets → higher recall)."""
+    The equi-join on (table, bucket) replaces the cross join — at scale this
+    is a shuffle on a low-cardinality key with AQE skew handling; the query
+    side broadcasts, candidate (query, neighbor) pairs are distinct'd before
+    the exact sim so multi-table hits are scored once."""
     from pyspark.sql import Window
 
-    e = with_lsh_bucket(
+    e = with_lsh_tables(
         emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")),
-        dim,
-        num_planes,
-        "ev",
+        dim, num_planes, "ev", num_tables,
     )
-    q = with_lsh_bucket(
+    q = with_lsh_tables(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        dim,
-        num_planes,
-        "qv",
+        dim, num_planes, "qv", num_tables,
+    )
+    cand = (
+        e.select("neighbor_id", "table_id", "bucket")
+        .join(F.broadcast(q.select("query_id", "table_id", "bucket")), ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     j = (
-        e.join(F.broadcast(q), "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim",
-            _dot(as_double(F.col("qv")), as_double(F.col("ev")))
-            / (_norm(as_double(F.col("qv"))) * _norm(as_double(F.col("ev")))),
+        cand.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+                )
+            ),
+            "query_id",
         )
+        .join(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ev")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (_norm("qv") * _norm("ev")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -157,39 +212,65 @@ def ivf_centroids(
     num_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+    seed_salt: str = "seed",
 ) -> DataFrame:
-    """IVF coarse quantizer: deterministic seed centroids (the num_centroids
-    smallest ids) refined by ONE Lloyd step (assign every vector to its
-    nearest seed by cosine, then per-cluster component-wise mean). Seeds with
-    no assigned vectors keep their seed vector. Fully deterministic — no RNG,
-    no collect of data-scale rows — so the DuckDB oracle reproduces the exact
-    centroid table. Returns (centroid_id, centroid array<double>).
+    """IVF coarse quantizer: hash-sampled seed centroids refined by
+    ``lloyd_iters`` Lloyd steps (assign every vector to its nearest centroid
+    by cosine, then per-cluster component-wise mean). Clusters that lose all
+    vectors keep their previous centroid. Fully deterministic — seeds are the
+    ``num_centroids`` rows with the smallest md5("<salt>:<id>") (a uniform
+    hash-sample over the corpus, NOT the lowest ids, so the seed set is
+    unbiased at any scale yet still reproducible in a SQL oracle); no RNG, no
+    collect of data-scale rows. Returns (centroid_id, centroid array<double>)
+    where centroid_id is the seed row's id.
 
-    At 10^10 rows the assignment is a broadcast nested-loop over C small
+    At 10^10 rows each assignment is a broadcast nested-loop over C small
     centroids (O(N*C) scans, no shuffle of vectors); the Lloyd averaging
     shuffles only (cluster, pos, value) triples with map-side partial aggs.
+    ``lloyd_iters`` is a config-scale loop — each iteration is one more
+    broadcast-assign + triple-agg, no lineage growth beyond C-row frames.
     """
-    seeds = emb.where(F.col(id_col) < num_centroids).select(
-        F.col(id_col).cast("long").alias("centroid_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    )
-    assigned = _assign_to_centroids(emb, seeds, id_col, vec_col)
-    # Component-wise mean per cluster: explode (cluster, pos, x), partial-agg
-    # averages, re-pack sorted by pos. Only scalar triples enter the shuffle.
-    means = (
-        assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("centroid_id", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("centroid_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("mv")
+    # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    # top-C followed by a C-row driver merge, never a single-partition sort
+    # of the corpus.
+    seeds = (
+        emb.select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            F.md5(
+                F.concat_ws(":", F.lit(seed_salt), F.col(id_col).cast("string"))
+            ).alias("_h"),
         )
+        .orderBy("_h", "centroid_id")
+        .limit(num_centroids)
+        .drop("_h")
     )
-    return seeds.join(means, "centroid_id", "left").select(
-        "centroid_id", F.coalesce("mv", "cv").alias("centroid")
-    )
+    cents = seeds
+    for _ in range(max(1, lloyd_iters)):
+        assigned = _assign_to_centroids(
+            emb, cents.select("centroid_id", F.col(cents.columns[1]).alias("cv")),
+            id_col, vec_col,
+        )
+        # Component-wise mean per cluster: explode (cluster, pos, x),
+        # partial-agg averages, re-pack sorted by pos. Only scalar triples
+        # enter the shuffle.
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("mv")
+            )
+        )
+        cents = cents.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce("mv", F.col(cents.columns[1])).alias("centroid"),
+        )
+    return cents.select("centroid_id", "centroid")
 
 
 def _assign_to_centroids(
@@ -220,6 +301,7 @@ def ann_topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are bucketed into inverted lists by
     nearest refined centroid; each query scans only its nprobe nearest lists.
@@ -231,7 +313,7 @@ def ann_topk_ivf(
     """
     from pyspark.sql import Window
 
-    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    cents = ivf_centroids(emb, num_centroids, id_col, vec_col, lloyd_iters)
     lists = _assign_to_centroids(emb, cents.select("centroid_id", F.col("centroid").alias("cv")), id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("ev"), "centroid_id"
     )
@@ -264,27 +346,42 @@ def embedding_near_dups(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing + exact cosine
-    verify within buckets. Returns (id_a, id_b, sim) with id_a < id_b."""
-    b = with_lsh_bucket(emb.select(id_col, vec_col), dim, num_planes, vec_col)
-    a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
+    exact cosine verify. Candidates come from ``num_tables`` independent
+    hyperplane tables (OR-construction — recall 1-(1-p^r)^b instead of the
+    single-table p^r cliff); overfull (table, bucket) groups beyond
+    ``bucket_cap`` are dropped via a broadcast anti-join before the
+    self-join, so one hot bucket (e.g. a spike of zero/constant embeddings)
+    can never go quadratic. Only (id, table, bucket) rows enter the
+    candidate shuffle; vectors join back in for the exact verify. Returns
+    (id_a, id_b, sim) with id_a < id_b."""
+    from goribot_spark.functions.dedup import _drop_overfull
+
+    if bucket_cap is None:
+        bucket_cap = EMB_BUCKET_CAP
+    keyed = with_lsh_tables(
+        emb.select(F.col(id_col).alias("id"), vec_col), dim, num_planes, vec_col,
+        num_tables,
+    ).select("id", "table_id", "bucket")
+    keyed = _drop_overfull(keyed, ["table_id", "bucket"], bucket_cap)
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["table_id", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
-    )
+    vecs = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     return (
-        a.join(c, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim",
-            _dot(as_double(F.col("va")), as_double(F.col("vb")))
-            / (_norm(as_double(F.col("va"))) * _norm(as_double(F.col("vb")))),
-        )
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb")))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )

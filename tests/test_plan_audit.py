@@ -107,9 +107,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 
 def test_ann_ivf_recall_vs_brute_force(spark):
-    """IVF with nprobe=2 of 8 lists must agree with the exact top-5 for a
-    large fraction of (query, neighbor) hits on the test corpus — the
-    recall-audit pattern every approximate path here ships with."""
+    """IVF (hash-sampled seeds, 2 Lloyd steps) with nprobe=3 of 8 lists must
+    agree with the exact top-5 for a large fraction of (query, neighbor)
+    hits on the test corpus — the recall-audit pattern every approximate
+    path here ships with."""
     e = entry_mod._t(spark, SF_DIR, "embeddings")
     from goribot_spark.functions.similarity import ann_topk_ivf, cosine_topk
 
@@ -120,7 +121,9 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
     ivf = {
         (r.query_id, r.neighbor_id)
-        for r in ann_topk_ivf(e, q, k=5, num_centroids=8, nprobe=2).collect()
+        for r in ann_topk_ivf(
+            e, q, k=5, num_centroids=8, nprobe=3, lloyd_iters=2
+        ).collect()
     }
     assert len(ivf) == len(exact)
     recall = len(ivf & exact) / len(exact)

@@ -48,3 +48,36 @@ def test_cap_per_source(spark):
             expect.add(doc)
     got = {r["doc_id"] for r in capped.collect()}
     assert got == expect
+
+
+def test_cap_per_source_two_level_skew(spark):
+    """One source at 100x the others: the 2-level plan must (a) return
+    exactly the single-window answer, and (b) never run a per-source window
+    over the full frame — under-cap sources bypass via a broadcast anti-join
+    and only the over-cap sources are windowed, with a salted local
+    pre-prune bounding any one window partition."""
+    import pandas as pd
+
+    rows = [(i, "hot", i % 997) for i in range(20_000)]
+    rows += [(100_000 + s * 100 + j, f"src{s}", j) for s in range(20) for j in range(5)]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"]),
+        "doc_id long, source string, n_chars long",
+    )
+    capped = cap_per_source(
+        d, "source", cap=10, order_exprs=[F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    got = {(r["doc_id"], r["source"]) for r in capped.collect()}
+    # expected: hot keeps its top-10 (n_chars desc, doc_id asc); small
+    # sources (5 rows < cap) pass through untouched
+    hot_sorted = sorted(
+        (r for r in rows if r[1] == "hot"), key=lambda r: (-r[2], r[0])
+    )[:10]
+    expect = {(r[0], r[1]) for r in hot_sorted}
+    expect |= {(r[0], r[1]) for r in rows if r[1] != "hot"}
+    assert got == expect
+    # plan shape: the 2-level split is a broadcast semi/anti pair, and the
+    # windows sit on the heavy branch only (2 Window nodes, not 1-over-all)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
