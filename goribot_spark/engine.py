@@ -81,6 +81,16 @@ class CrawlConfig:
     # is not reproduced. Jar cookies do NOT enter the dedup key — the
     # reference attaches them at client-send time, after GetRequestHash.
     cookie_jar: bool = True
+    # Fetch leg: "synthetic" joins the wave against the fixtures' pages
+    # table (sandbox stand-in for the network, J5); "live" issues real HTTP
+    # from the executors via operators/fetch.live_fetch (S4, net.go:269-324)
+    # — per-request proxy/UA/headers/cookies honored, Set-Cookie captured
+    # into the jar, transport errors routed to retry. Image payloads are
+    # then fetched live too (refs → distinct URLs → mapInPandas fetch →
+    # decode) instead of joining the images table.
+    fetch_mode: str = "synthetic"
+    fetch_timeout_sec: float = 5.0
+    fetch_threads: int = 8
     use_bloom: bool = False  # approximate pre-filter over seen (operators/bloom.py)
     bloom_bits: int = 1 << 23
     dfs: bool = False  # SetDepthFirst — extensions.go:262-269
@@ -136,8 +146,11 @@ class CrawlEngine:
         # canon.py), while fetching resolves by URL — two requests differing
         # only in headers are distinct frontier rows that hit the same page,
         # exactly like two HTTP GETs to one URL.
+        live = self.cfg.fetch_mode == "live"
         self.pages = (
-            spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+            None
+            if live
+            else spark.read.parquet(f"{fixtures_dir}/pages.parquet")
             .repartition(self.cfg.num_partitions, "url")
             .persist()
         )
@@ -147,13 +160,15 @@ class CrawlEngine:
         # nothing is re-broadcast per wave (per-wave broadcasts of the
         # payload measurably accumulate driver garbage over long crawls).
         self.images = (
-            spark.read.parquet(f"{fixtures_dir}/images.parquet")
+            None
+            if live
+            else spark.read.parquet(f"{fixtures_dir}/images.parquet")
             .repartition(self.cfg.num_partitions, "image_id")
             .persist()
         )
         self.robots = (
             spark.read.parquet(f"{fixtures_dir}/robots_rules.parquet")
-            if self.cfg.robots
+            if self.cfg.robots and fixtures_dir is not None
             else None
         )
         self._bloom = (
@@ -413,7 +428,9 @@ class CrawlEngine:
         # host; the state side is hosts-with-cookies only, so Spark's
         # auto-broadcast covers it at sandbox scale and AQE picks the
         # strategy at cluster scale.
-        use_jar = cfg.cookie_jar and "set_cookies" in self.pages.columns
+        use_jar = cfg.cookie_jar and (
+            cfg.fetch_mode == "live" or "set_cookies" in self.pages.columns
+        )
         fetch_base = wave_df
         if use_jar and self.store.has_host_state():
             # Explicit broadcast: the jar is per-host state (hosts-with-
@@ -440,23 +457,39 @@ class CrawlEngine:
         # re-enters a later wave).
         fetch_src = H.apply_hook_stages(fetch_base, cfg.on_req)
 
-        # Synthetic fetch (J5): status resolution incl. flaky-page retries.
-        page_cols = [
-            F.col("url"),
-            F.col("status").alias("_pstatus"),
-            F.col("fail_times"),
-            F.col("content_type"),
-            F.col("body"),
-        ]
-        if use_jar:
-            page_cols.append(F.col("set_cookies"))
-        pages = self.pages.select(*page_cols)
-        fetched = fetch_src.join(pages, on="url", how="left").withColumn(
-            "status",
-            F.when(F.col("_pstatus").isNull(), F.lit(None).cast("int"))
-            .when(F.col("retry_count") < F.col("fail_times"), F.lit(500))
-            .otherwise(F.col("_pstatus")),
-        )
+        if cfg.fetch_mode == "live":
+            # Live HTTP fetch (S4): mapInPandas over the host-salted wave —
+            # real sockets in the executors, proxy/UA/header/cookie columns
+            # honored, Set-Cookie captured (operators/fetch.py).
+            from goribot_spark.operators.fetch import live_fetch
+
+            # Eager checkpoint: the fetch stage is SIDE-EFFECTING (real HTTP
+            # exchanges) and several downstream actions read `fetched` —
+            # without pinning, each action would re-execute the stage and
+            # re-issue every request (observed: retries double-counted).
+            # Exactly-once per wave is also the reference's semantics: one
+            # Do() per scheduled task (goribot.go:199).
+            fetched = live_fetch(
+                fetch_src, cfg.fetch_timeout_sec, cfg.fetch_threads, cfg.ua
+            ).localCheckpoint(eager=True)
+        else:
+            # Synthetic fetch (J5): status resolution incl. flaky-page retries.
+            page_cols = [
+                F.col("url"),
+                F.col("status").alias("_pstatus"),
+                F.col("fail_times"),
+                F.col("content_type"),
+                F.col("body"),
+            ]
+            if use_jar:
+                page_cols.append(F.col("set_cookies"))
+            pages = self.pages.select(*page_cols)
+            fetched = fetch_src.join(pages, on="url", how="left").withColumn(
+                "status",
+                F.when(F.col("_pstatus").isNull(), F.lit(None).cast("int"))
+                .when(F.col("retry_count") < F.col("fail_times"), F.lit(500))
+                .otherwise(F.col("_pstatus")),
+            )
         ok = F.col("status").isin(list(cfg.okcodes))
         # Slim checkpointed status frame: retry/error/metrics paths reuse it
         # without re-running the fetch join (bodies stay out of the cache);
@@ -546,34 +579,84 @@ class CrawlEngine:
             F.col("parse_error").isNull()
             & F.col("handler_id").isin(H.item_emitting_ids())
         )
-        refs = emit_items.select(
-            F.col("url").alias("src_url"),
-            "handler_id",
-            F.explode("image_refs").alias("image_id"),
-        )
-        # The images table is the sandbox's stand-in for the network (a real
-        # deployment fetches bytes inside mapInPandas, no join at all); its
-        # cached url-key partitioning means this join exchanges only the
-        # refs side — payload bytes never hit shuffle disk, which would
-        # otherwise saturate single-node I/O and cap scaling. Decode runs in
-        # the join's reduce stage at the cache's partition count.
-        results = (
-            refs.join(self.images.select("image_id", "bytes", "caption"), "image_id")
-            .transform(with_decoded)
-            .select(
-                "image_id",
-                "bytes",
-                "w",
-                "h",
-                "fmt",
-                "caption",
-                "phash",
-                "decode_error",
+        if cfg.fetch_mode == "live":
+            # Live payload fetch: img refs resolve against the page URL,
+            # distinct URLs fetch once over HTTP (mapInPandas — bytes are
+            # produced executor-side, never joined from a table), captions
+            # come from the img alt text captured by the parser.
+            from goribot_spark.operators.discover import resolve_url_udf
+            from goribot_spark.operators.fetch import live_fetch
+
+            refs = emit_items.select(
+                F.col("url").alias("src_url"),
+                "handler_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("image_refs").alias("ref"),
+                        F.col("image_alts").alias("alt"),
+                    )
+                ).alias("ri"),
+            ).select(
                 "src_url",
                 "handler_id",
-                F.lit(wave).cast("int").alias("wave"),
+                resolve_url_udf(F.col("src_url"), F.col("ri.ref")).alias("image_id"),
+                F.col("ri.alt").alias("caption"),
             )
-        )
+            img_bytes = live_fetch(
+                refs.select(F.col("image_id").alias("url")).distinct(),
+                cfg.fetch_timeout_sec,
+                cfg.fetch_threads,
+                cfg.ua,
+            ).select(F.col("url").alias("image_id"), F.col("body").alias("bytes"))
+            results = (
+                refs.join(img_bytes, "image_id")
+                .transform(with_decoded)
+                .select(
+                    "image_id",
+                    "bytes",
+                    "w",
+                    "h",
+                    "fmt",
+                    "caption",
+                    "phash",
+                    "decode_error",
+                    "src_url",
+                    "handler_id",
+                    F.lit(wave).cast("int").alias("wave"),
+                )
+            )
+        else:
+            refs = emit_items.select(
+                F.col("url").alias("src_url"),
+                "handler_id",
+                F.explode("image_refs").alias("image_id"),
+            )
+            # The images table is the sandbox's stand-in for the network
+            # (the live leg above fetches bytes inside mapInPandas, no join
+            # at all); its cached url-key partitioning means this join
+            # exchanges only the refs side — payload bytes never hit shuffle
+            # disk, which would otherwise saturate single-node I/O and cap
+            # scaling. Decode runs in the join's reduce stage at the cache's
+            # partition count.
+            results = (
+                refs.join(
+                    self.images.select("image_id", "bytes", "caption"), "image_id"
+                )
+                .transform(with_decoded)
+                .select(
+                    "image_id",
+                    "bytes",
+                    "w",
+                    "h",
+                    "fmt",
+                    "caption",
+                    "phash",
+                    "decode_error",
+                    "src_url",
+                    "handler_id",
+                    F.lit(wave).cast("int").alias("wave"),
+                )
+            )
         # OnItem chain + per-handler item stages (goribot.go:332-342): item
         # transforms/filters before the sink write; handler_id rides along
         # for the per-handler split and is dropped at the final select.

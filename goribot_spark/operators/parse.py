@@ -29,6 +29,9 @@ PARSED = StructType(
     [
         StructField("links", ArrayType(StringType()), True),
         StructField("image_refs", ArrayType(StringType()), True),
+        # alt text aligned 1:1 with image_refs (caption source for live
+        # crawls, where no images-table join exists to provide captions)
+        StructField("image_alts", ArrayType(StringType()), True),
         StructField("title", StringType(), True),
         StructField("parse_error", StringType(), True),
     ]
@@ -74,6 +77,7 @@ class _Extractor(HTMLParser):
         super().__init__()
         self.links: list[str] = []
         self.images: list[str] = []
+        self.alts: list[str | None] = []
         self.title_parts: list[str] = []
         self._in_title = False
 
@@ -84,6 +88,7 @@ class _Extractor(HTMLParser):
         elif tag == "img" and d.get("src"):
             src = d["src"]
             self.images.append(src[6:] if src.startswith("img://") else src)
+            self.alts.append(d.get("alt"))
         elif tag == "title":
             self._in_title = True
 
@@ -98,16 +103,18 @@ class _Extractor(HTMLParser):
 
 def _parse_one(body: bytes | None, content_type: str | None):
     if body is None:
-        return None, None, None, "empty_body"
+        return None, None, None, None, "empty_body"
     try:
         if body[:2] == b"\x1f\x8b":
             body = gzip.decompress(body)
         ctype = content_type or ""
         if "json" in ctype:
             doc = json.loads(body.decode("utf-8"))
+            imgs = list(doc.get("images", []))
             return (
                 list(doc.get("links", [])),
-                list(doc.get("images", [])),
+                imgs,
+                [None] * len(imgs),
                 doc.get("title"),
                 None,
             )
@@ -115,30 +122,34 @@ def _parse_one(body: bytes | None, content_type: str | None):
             text = _decode_text(body, ctype)
             ex = _Extractor()
             ex.feed(text)
-            return ex.links, ex.images, "".join(ex.title_parts), None
-        return [], [], None, None  # opaque payload: no parse (net.go:196-197)
+            return ex.links, ex.images, ex.alts, "".join(ex.title_parts), None
+        # opaque payload: no parse (net.go:196-197)
+        return [], [], [], None, None
     except Exception as e:  # R3 panic recovery: never fail the job
-        return None, None, None, f"parse_error:{type(e).__name__}:{e}"
+        return None, None, None, None, f"parse_error:{type(e).__name__}:{e}"
 
 
 @F.pandas_udf(PARSED)
 def parse_body_udf(body: pd.Series, content_type: pd.Series) -> pd.DataFrame:
-    out = {"links": [], "image_refs": [], "title": [], "parse_error": []}
+    out = {"links": [], "image_refs": [], "image_alts": [], "title": [], "parse_error": []}
     for b, ct in zip(body, content_type):
-        links, imgs, title, err = _parse_one(b, ct)
+        links, imgs, alts, title, err = _parse_one(b, ct)
         out["links"].append(links)
         out["image_refs"].append(imgs)
+        out["image_alts"].append(alts)
         out["title"].append(title)
         out["parse_error"].append(err)
     return pd.DataFrame(out)
 
 
 def with_parsed(df, body_col: str = "body", ctype_col: str = "content_type"):
-    """Attach parsed.links / parsed.image_refs / parsed.title / parse_error."""
+    """Attach parsed.links / parsed.image_refs / parsed.image_alts /
+    parsed.title / parse_error."""
     return (
         df.withColumn("_parsed", parse_body_udf(F.col(body_col), F.col(ctype_col)))
         .withColumn("links", F.col("_parsed.links"))
         .withColumn("image_refs", F.col("_parsed.image_refs"))
+        .withColumn("image_alts", F.col("_parsed.image_alts"))
         .withColumn("title", F.col("_parsed.title"))
         .withColumn("parse_error", F.col("_parsed.parse_error"))
         .drop("_parsed")

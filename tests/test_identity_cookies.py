@@ -164,7 +164,7 @@ def test_charset_detection_undeclared_gbk():
         "<html><head><title>标题 中文页</title></head><body>"
         '<a href="/p/1">链接</a></body></html>'
     ).encode("gbk")
-    links, imgs, title, err = _parse_one(body, "text/html")
+    links, imgs, _alts, title, err = _parse_one(body, "text/html")
     assert err is None and title == "标题 中文页" and links == ["/p/1"]
 
 
@@ -173,18 +173,18 @@ def test_charset_detection_meta_and_bom():
         '<html><head><meta charset="gbk"><title>页</title></head>'
         "<body></body></html>"
     ).encode("gbk")
-    _, _, title, err = _parse_one(gbk_meta, "text/html")
+    _, _, _, title, err = _parse_one(gbk_meta, "text/html")
     assert err is None and title == "页"
     bom = "\ufeff<html><head><title>bom页</title></head><body></body></html>".encode(
         "utf-8-sig"
     )
-    _, _, title2, err2 = _parse_one(bom, "text/html")
+    _, _, _, title2, err2 = _parse_one(bom, "text/html")
     assert err2 is None and title2 == "bom页"
 
 
 def test_charset_declared_still_wins():
     body = "<html><head><title>中文</title></head><body></body></html>".encode("gbk")
-    _, _, title, err = _parse_one(body, "text/html; charset=gbk")
+    _, _, _, title, err = _parse_one(body, "text/html; charset=gbk")
     assert err is None and title == "中文"
 
 
