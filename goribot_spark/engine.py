@@ -265,7 +265,15 @@ class CrawlEngine:
         10^10-URL frontier seed lists are tables, not Python lists; ``seed``
         (list form, with per-row meta) remains for config-scale injection
         — the list path's driver hashing is measurable serial cost at ~10^5
-        seeds and gone here."""
+        seeds and gone here.
+
+        ORDERING CAVEAT: seq here ranks by ``order_col`` (default:
+        lexicographic url — a table has no input order), while ``seed``
+        ranks by list position. The crawled SET is identical, but under
+        seq-ordering-sensitive admission (a MaxReq rule trims by seq rank)
+        the two paths may admit DIFFERENT urls from the same seed set —
+        pass an explicit rank column as ``order_col`` when that matters
+        (tested: test_seed_frame_max_req_order_divergence)."""
         from goribot_spark.canon import with_url_hash
         from goribot_spark.operators.discover import host_of
         from goribot_spark.operators.ordering import with_global_rank
@@ -404,6 +412,7 @@ class CrawlEngine:
             cfg.window_sec,
             cfg.parallelism_factor,
             cfg.wave_budget,
+            wave,
         )
         # localCheckpoint (not persist): besides caching, it TRUNCATES the
         # logical plan to an RDD scan. A wave touches each intermediate with
@@ -748,6 +757,9 @@ class CrawlEngine:
             # map-building agg over all hosts-with-cookies would run single-
             # threaded; repartition keeps it parallel and only the one-file
             # write is a single (tiny) task.
+            # sortWithinPartitions: repartition(1) is a round-robin shuffle
+            # with nondeterministic arrival order; the sort restores the
+            # byte-identical single-file snapshot the resume contract claims.
             host_state_write = (
                 prev.unionByName(latest)
                 .groupBy("host")
@@ -757,6 +769,7 @@ class CrawlEngine:
                     ).alias("cookies")
                 )
                 .repartition(1)
+                .sortWithinPartitions("host")
             )
 
         writes = {
@@ -775,8 +788,12 @@ class CrawlEngine:
             # made the full wave-wide error filter a single task (a serial
             # full-frontier scan per wave — measured in the 2-vs-8-core
             # phase profile); repartition keeps the scan at stage
-            # parallelism and shuffles only the handful of error rows.
-            "errors": errors.repartition(1),
+            # parallelism and shuffles only the handful of error rows. The
+            # sort pins row order inside the one file (round-robin shuffle
+            # arrival is nondeterministic) → deterministic bytes on re-run.
+            "errors": errors.repartition(1).sortWithinPartitions(
+                "url_hash", "retry_count", "error_kind"
+            ),
         }
         if cfg.dedup:
             writes["seen"] = admitted.select("url_hash").coalesce(_nfiles(admitted_n))
@@ -881,8 +898,36 @@ class CrawlEngine:
 
     # -- the driver loop (goribot.go:227-248) ------------------------------
 
-    def run(self, max_waves: int | None = None) -> list[dict]:
-        """AutoStop loop: run waves until the pending frontier drains.
+    def refresh(self) -> None:
+        """Pick up state committed by OTHER sessions on this run_dir:
+        re-read the manifest and drop the incremental pending/seen caches so
+        the next wave rebuilds them from the shared tables (the distributed
+        consumer contract, manager_test.go:13-54)."""
+        self.store.refresh()
+        self._pending = None
+        self._seen = None
+        if self.cfg.dedup and self.cfg.use_bloom:
+            self._bloom = self.store.load_bloom_union()
+
+    def run(
+        self,
+        max_waves: int | None = None,
+        poll: bool = False,
+        idle_waves: int = 2,
+        poll_interval_sec: float = 0.0,
+        on_idle=None,
+    ) -> list[dict]:
+        """Driver loop. Default (``poll=False``) is the AutoStop behavior:
+        run waves until the pending frontier drains (goribot.go:227-244).
+
+        ``poll=True`` is the AutoStop=false analog (SetAutoStop,
+        goribot.go:240-244 — the reference keeps waiting for new tasks
+        instead of exiting): an empty wave is an *idle poll*, not the end —
+        the engine refreshes the shared store (seeds appended by another
+        session become visible), optionally sleeps ``poll_interval_sec``,
+        and re-checks; it exits after ``idle_waves`` consecutive empty
+        polls. ``on_idle(engine, n_idle)`` fires on each idle poll (test
+        hook / external seed pump).
 
         OnStart fires before the first wave and OnFinish after the loop
         exits (goribot.go:251-268), each called with the engine."""
@@ -890,11 +935,23 @@ class CrawlEngine:
         if self.cfg.on_start is not None:
             self.cfg.on_start(self)
         limit = max_waves if max_waves is not None else self.cfg.max_waves
+        idle = 0
         for _ in range(limit):
             r = self.run_wave()
             out.append(r)
-            if r.get("done"):
+            if not r.get("done"):
+                idle = 0
+                continue
+            if not poll:
                 break
+            idle += 1
+            if on_idle is not None:
+                on_idle(self, idle)
+            if idle >= idle_waves:
+                break
+            if poll_interval_sec:
+                time.sleep(poll_interval_sec)
+            self.refresh()
         if self.cfg.on_finish is not None:
             self.cfg.on_finish(self)
         return out

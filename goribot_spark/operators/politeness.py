@@ -33,10 +33,30 @@ def rule_wave_cap(
     window_sec: float,
     tokens_left: float,
     parallelism_factor: int,
+    wave: int = 0,
 ) -> tuple[int | None, float]:
-    """Per-wave admission cap for hosts matching ``rule`` + new token balance."""
-    if rule.delay_sec:
-        return max(1, math.floor(window_sec / rule.delay_sec)), 0.0
+    """Per-wave admission cap for hosts matching ``rule`` + new token balance.
+
+    T2 RandomDelay (limiter.go:83-86): the reference sleeps an extra
+    uniform(0, RandomDelay) per request after the fixed Delay, so the
+    per-request spacing for a wave is modeled as delay + u·random_delay with
+    ``u`` a deterministic hash-draw in [0, 1) keyed by (rule, wave) — same
+    wave, same cap (reproducible runs; the reference's time-seeded rand is
+    deliberately not reproduced), expected cap over waves ≈
+    window / (delay + random_delay/2), bounds [window/(delay+rd),
+    window/delay] — the budget-domain image of the wall-clock contract.
+    """
+    rd = rule.random_delay_sec or 0.0
+    if rule.delay_sec or rd:
+        from goribot_spark.canon import xxh64
+
+        u = 0.0
+        if rd:
+            u = (xxh64(f"rdelay:{rule.rule_id}:{wave}".encode()) % 1_000_000) / 1e6
+        eff = (rule.delay_sec or 0.0) + u * rd
+        if eff <= 0:
+            return None, 0.0  # jitter drew ~0 and no fixed delay: no cap this wave
+        return max(1, math.floor(window_sec / eff)), 0.0
     if rule.rate_per_sec:
         budget = rule.rate_per_sec * window_sec + tokens_left
         cap = math.floor(budget)
@@ -54,11 +74,13 @@ def select_wave(
     window_sec: float = 1.0,
     parallelism_factor: int = 1,
     wave_budget: int | None = None,
+    wave: int = 0,
 ) -> tuple[DataFrame, dict[int, float]]:
     """Pick this wave's fetch set from the pending frontier (O1-O3 + T1-T4).
 
     ``order_cols`` is the BFS or DFS sort (SURVEY §2.6); the per-host window
     ranks in that order so politeness never reorders the crawl contract.
+    ``wave`` seeds the deterministic RandomDelay jitter (T2).
     Returns (wave_df, new_rule_tokens).
     """
     new_tokens: dict[int, float] = {}
@@ -66,7 +88,7 @@ def select_wave(
     any_cap = False
     for r in rules:
         cap, tok = rule_wave_cap(
-            r, window_sec, rule_tokens.get(r.rule_id, 0.0), parallelism_factor
+            r, window_sec, rule_tokens.get(r.rule_id, 0.0), parallelism_factor, wave
         )
         new_tokens[r.rule_id] = tok
         if cap is not None:

@@ -69,12 +69,49 @@ def with_meta(key: str, value: str):
     return stage
 
 
+def gjson_path(col, path: str) -> Column:
+    """gjson-style path extraction (net.go:231-233 — the reference's
+    Resp.Json delegates to tidwall/gjson) over Spark's JsonPath engine.
+
+    Supported subset, matching the gjson README examples the reference's
+    users rely on:
+      ``a.b``          → ``$.a.b``            (dotted field access)
+      ``a.3``          → ``$.a[3]``           (numeric segment = array index)
+      ``friends.#``    → count of the array   (json_array_length)
+      ``friends.#.first`` → ``$.friends[*].first`` (project each element —
+                          gjson and Spark both return a JSON array string)
+    Paths already starting with ``$`` pass through as raw JsonPath.
+    """
+    if path.startswith("$"):
+        return F.get_json_object(col, path)
+    parts = path.split(".")
+    if parts[-1] == "#" and len(parts) > 1:
+        inner = _gjson_to_jsonpath(parts[:-1])
+        return F.json_array_length(F.get_json_object(col, inner)).cast("string")
+    if parts == ["#"]:
+        return F.json_array_length(col).cast("string")
+    return F.get_json_object(col, _gjson_to_jsonpath(parts))
+
+
+def _gjson_to_jsonpath(parts: list[str]) -> str:
+    out = "$"
+    for p in parts:
+        if p == "#":
+            out += "[*]"
+        elif p.isdigit():
+            out += f"[{p}]"
+        else:
+            out += "." + p
+    return out
+
+
 def on_json(path: str, out_col: str, body_text_col: str = "body_text"):
     """OnJSON (goribot.go:311-320): gjson-path extraction as a column stage;
-    rows whose path is absent get null (the hook simply not firing)."""
+    rows whose path is absent get null (the hook simply not firing). Accepts
+    gjson-style paths (``friends.#.first``) or raw JsonPath (``$...``)."""
 
     def stage(df: DataFrame) -> DataFrame:
-        return df.withColumn(out_col, F.get_json_object(F.col(body_text_col), path))
+        return df.withColumn(out_col, gjson_path(F.col(body_text_col), path))
 
     return stage
 

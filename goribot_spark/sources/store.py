@@ -54,6 +54,13 @@ class CrawlStore:
                 return json.load(f)
         return {"waves": [], "driver_state": {}}
 
+    def refresh(self) -> None:
+        """Re-read the manifest from disk — picks up waves committed by
+        OTHER sessions sharing this run_dir (the distributed-mode contract,
+        manager.go:14-16: any worker may publish seeds/waves; a polling
+        engine sees them on its next idle check)."""
+        self.manifest = self._load_manifest()
+
     def committed_waves(self) -> list[int]:
         return [w["wave"] for w in self.manifest["waves"]]
 

@@ -88,8 +88,13 @@ def decode_rate(cpus: int, fx: str, reps: int = 30) -> float:
         text=True,
         timeout=1800,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("RATE")][-1]
-    return float(line.split()[1])
+    lines = [l for l in out.stdout.splitlines() if l.startswith("RATE")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"decode_rate child failed (rc={out.returncode}); "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
+    return float(lines[-1].split()[1])
 
 
 def main() -> None:

@@ -64,6 +64,30 @@ def test_on_json(spark):
     assert got == ["7", None]
 
 
+def test_on_json_gjson_paths(spark):
+    """gjson path richness (net.go:231-233): the reference's Resp.Json uses
+    tidwall/gjson — dotted paths, numeric indexes, `#` count, and `#.field`
+    projection (the gjson README's own `friends.#.first` example)."""
+    doc = (
+        '{"name": {"first": "Janet", "last": "Prichard"}, "age": 47, '
+        '"friends": [{"first": "Dale"}, {"first": "Roger"}]}'
+    )
+    df = spark.createDataFrame([(doc,)], "body_text string")
+    out = (
+        df.transform(on_json("name.last", "last"))
+        .transform(on_json("age", "age"))
+        .transform(on_json("friends.#", "n_friends"))
+        .transform(on_json("friends.#.first", "firsts"))
+        .transform(on_json("friends.1.first", "second_friend"))
+        .collect()[0]
+    )
+    assert out["last"] == "Prichard"
+    assert out["age"] == "47"
+    assert out["n_friends"] == "2"
+    assert out["firsts"] == '["Dale","Roger"]'
+    assert out["second_friend"] == "Roger"
+
+
 HTML = """
 <html><body>
   <div class="item"><span class="t">first</span></div>
