@@ -403,12 +403,19 @@ def connected_components(
     ``RuntimeWarning`` instead of silently returning.
     """
     import warnings
+    # Eager checkpoint of the INPUT edges: the pair generator upstream (a
+    # full LSH+verify pipeline) would otherwise be INLINED into every
+    # round's plan and re-planned/re-executed by each probe and by the final
+    # nodes join — measured as the dominant cost of the whole operator
+    # (3x the contraction itself at sf0.1). After this, every loop plan is
+    # a scan of a materialized (long, long) RDD.
     e = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     prev_sig = None

