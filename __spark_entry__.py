@@ -217,7 +217,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     overfull buckets excluded (see FP8_BUCKET_CAP)."""
     d = _t(spark, sf_dir, "documents")
     fp8 = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
-    sh = d.select(
+    # repartition: the shingle build is the scan-side cost; one input file
+    # would otherwise pin it to a single task (see minhash_signature).
+    sh = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id",
         fp8.alias("fp8"),
         F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
@@ -495,7 +499,9 @@ sh as (
 ),
 sig as (
   select doc_id, array_to_string(
-    [list_min([('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::BIGINT for x in s])::VARCHAR
+    [list_min([('0x' || substr(md5(x), 1, 15))::BIGINT
+               + i * (('0x' || substr(md5('s:' || x), 1, 15))::BIGINT % 36028797018963968)
+               for x in s])::VARCHAR
      for i in generate_series(0, 15)], ',') sig_key
   from sh
 )
@@ -520,8 +526,9 @@ where a.doc_id < b.doc_id
 
 # MinHash-LSH candidate pairs + exact-Jaccard verify, bit-identical to
 # minhash_near_dups (num_hashes=16, bands=4, rows=4): sig[i] = min over
-# shingles of first-15-hex-digits of md5(i||':'||shingle); band key =
-# comma-joined 4-slice of the signature. Docs with NO shingles (< n tokens)
+# shingles of the Kirsch-Mitzenmacher double hash h1 + i*(h2 mod 2^55) with
+# h1/h2 the first-15-hex-digits of md5(shingle) / md5('s:'||shingle); band
+# key = comma-joined 4-slice of the signature. Docs with NO shingles (< n tokens)
 # are excluded before banding — their all-null signatures would otherwise
 # collapse into one degenerate '' band bucket — and band buckets holding
 # more than LSH_BUCKET_CAP docs are dropped entirely (the broadcast-anti-join
@@ -534,7 +541,9 @@ sh as (
 ),
 sig as (
   select doc_id,
-    [list_min([('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::BIGINT for x in s])
+    [list_min([('0x' || substr(md5(x), 1, 15))::BIGINT
+               + i * (('0x' || substr(md5('s:' || x), 1, 15))::BIGINT % 36028797018963968)
+               for x in s])
      for i in generate_series(0, 15)] sig
   from sh where len(s) > 0
 ),

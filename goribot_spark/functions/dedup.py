@@ -64,8 +64,9 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 16,
                       shingle_n: int = 3, id_col: str | None = None) -> DataFrame:
-    """Add ``sig`` array<long>: per hash i, min over shingles of
-    md5_long(i || ':' || shingle). Portable (same value in DuckDB).
+    """Add ``sig`` array<long>: per hash i, min over shingles of the
+    double-hash md5_long(shingle) + i·(md5_long('s:'+shingle) mod 2^55)
+    (Kirsch-Mitzenmacher). Portable (same value in DuckDB).
 
     Shape: explode distinct shingles once, hash each (i, shingle) pair, min
     per doc. Building the shingle array inside one nested projection per
@@ -86,16 +87,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 1
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("_shingle"),
     )
-    mins = [
-        F.min(
-            F.when(
-                F.col("_shingle").isNotNull(),
-                md5_long(F.concat(F.lit(f"{i}:"), F.col("_shingle"))),
-            )
-        ).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy(*other_cols).agg(*mins)
+    # Repartition the exploded rows BEFORE aggregating: partial aggregation
+    # evaluates the hash expressions map-side, so on a small input (one
+    # parquet file → 1-2 partitions) the whole hash stage would run on one
+    # core. The exchange moves only (id, shingle) rows — the documented
+    # shuffle pattern — and at corpus scale the scan supplies the
+    # parallelism anyway.
+    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, *other_cols)
+    agg = sh.groupBy(*other_cols).agg(*_minhash_mins(F.col("_shingle"), num_hashes))
     return agg.select(
         *other_cols,
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
@@ -116,19 +115,30 @@ def shingle_sets(
     )
 
 
-def _signature_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, sig) from a (id, sh) shingle frame: explode once, hash each
-    (i, shingle) pair, min per doc — only (id, hash) rows shuffle."""
-    ex = sh_df.select("id", F.explode_outer("sh").alias("_shingle"))
-    mins = [
+# Kirsch-Mitzenmacher double hashing (same public technique bloom.py cites):
+# hash_i(x) = h1(x) + i·(h2(x) mod 2^55) — two md5 evaluations per shingle
+# instead of num_hashes (measured ~8x less hashing in the signature stage).
+# h1 < 2^60 and i·(h2 mod 2^55) < 16·2^55 = 2^59 keep the sum well inside
+# int64 in both Spark and DuckDB (whose BIGINT overflow ERRORS, not wraps).
+_H2_MOD = 1 << 55
+
+
+def _minhash_mins(shingle_col, num_hashes: int):
+    h1 = md5_long(shingle_col)
+    h2 = md5_long(F.concat(F.lit("s:"), shingle_col)) % F.lit(_H2_MOD)
+    return [
         F.min(
-            F.when(
-                F.col("_shingle").isNotNull(),
-                md5_long(F.concat(F.lit(f"{i}:"), F.col("_shingle"))),
-            )
+            F.when(shingle_col.isNotNull(), h1 + F.lit(i) * h2)
         ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
+
+
+def _signature_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from a (id, sh) shingle frame: explode once, double-hash
+    each shingle, min per doc — only (id, hash) rows shuffle."""
+    ex = sh_df.select("id", F.explode_outer("sh").alias("_shingle"))
+    mins = _minhash_mins(F.col("_shingle"), num_hashes)
     return ex.groupBy("id").agg(*mins).select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -245,7 +255,16 @@ def minhash_near_dups(
     tokenize+shingle over the corpus (the dominant scan cost; sharing it
     halves the pipeline's heaviest stage). The persist is released by Spark's
     ContextCleaner when the returned plan's reference drops."""
-    sh = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sc = df.sparkSession.sparkContext
+    # Explicit repartition before persist: a small input (one parquet file)
+    # otherwise pins the whole hash-explode pipeline to 1-2 tasks — at
+    # corpus scale the scan supplies the parallelism and this exchange is a
+    # cheap (id, shingle-array) shuffle either way.
+    sh = (
+        shingle_sets(df, id_col, text_col, shingle_n)
+        .repartition(sc.defaultParallelism, "id")
+        .persist()
+    )
     sigd = _signature_from_shingles(sh, num_hashes)
     pairs = _banded_pairs(sigd, num_hashes, bands, bucket_cap)
     return ngram_jaccard_from_shingles(sh, pairs).where(F.col("jaccard") >= threshold)
