@@ -166,11 +166,15 @@ class CrawlEngine:
             .repartition(self.cfg.num_partitions, "image_id")
             .persist()
         )
-        self.robots = (
-            spark.read.parquet(f"{fixtures_dir}/robots_rules.parquet")
-            if self.cfg.robots and fixtures_dir is not None
-            else None
-        )
+        if self.cfg.robots and live:
+            # Live robots: rules accumulate per wave (fetched over HTTP for
+            # hosts first seen in that wave) into the robots_live table;
+            # resume reloads the accumulated snapshot.
+            self.robots = self.store.read("robots_live")
+        elif self.cfg.robots and fixtures_dir is not None:
+            self.robots = spark.read.parquet(f"{fixtures_dir}/robots_rules.parquet")
+        else:
+            self.robots = None
         self._bloom = (
             self.store.load_bloom_union()
             if (self.cfg.dedup and self.cfg.use_bloom)
@@ -303,11 +307,46 @@ class CrawlEngine:
         )
         return self._seed_commit(df, n_urls, state, seq_base)
 
+    def _ensure_live_robots(self, frame: DataFrame, wave: int) -> None:
+        """F2's live leg: fetch + parse robots.txt over HTTP for hosts in
+        ``frame`` (host, url) not yet in the accumulated robots_live table
+        (reference RobotsTxt extension fetches per-host robots lazily,
+        extensions.go:131-151). One mapInPandas fetch over the handful of
+        first-seen hosts per wave; unreachable robots cache as allow-all so
+        no host is fetched twice. The increment is written under this
+        wave's snapshot (rolls back with an aborted wave, reloads on
+        resume)."""
+        from goribot_spark.operators.fetch import live_fetch_robots
+
+        need = (
+            frame.select("host", "url")
+            .groupBy("host")
+            .agg(F.min("url").alias("url"))
+            .join(self.robots.select("host").distinct(), "host", "left_anti")
+        )
+        rules = (
+            live_fetch_robots(
+                need, self.cfg.fetch_timeout_sec, self.cfg.fetch_threads, self.cfg.ua
+            )
+            .select(
+                "host", "ua", "path_prefix", (F.col("allow") == "1").alias("allow")
+            )
+            # eager: the fetch is side-effecting — run it exactly once
+            .localCheckpoint(eager=True)
+        )
+        if rules.isEmpty():
+            return
+        self.store.write("robots_live", wave, rules.coalesce(1))
+        self.robots = self.robots.unionByName(rules)
+
     def _seed_commit(
         self, df: DataFrame, n_urls: int, state: dict, seq_base: int
     ) -> int:
         """Shared admission + commit tail of both seeding paths."""
+        wave = self.store.last_wave() + 1
         df = apply_rule_filters(df, self.cfg.rules, self.cfg.whitelist, self.cfg.max_depth)
+        if self.robots is not None and self.cfg.fetch_mode == "live":
+            self._ensure_live_robots(df, wave)
         df = apply_robots(df, self.robots, self.cfg.ua) if self.robots is not None else df
         if self.cfg.dedup:
             df = self._dedup(df)
@@ -317,7 +356,6 @@ class CrawlEngine:
         df = apply_max_req(df, remaining, ["priority", "discovery_epoch", "seq"])
         df = df.drop("rule_id").persist()
         n = df.count()
-        wave = self.store.last_wave() + 1
         self.store.write(
             "frontier", wave, df.select(*schemas.FRONTIER.fieldNames()).coalesce(1)
         )
@@ -576,6 +614,8 @@ class CrawlEngine:
         cands = H.apply_hook_stages(cands, cfg.on_add)
         cands = apply_rule_filters(cands, cfg.rules, cfg.whitelist, cfg.max_depth)
         if self.robots is not None:
+            if cfg.fetch_mode == "live":
+                self._ensure_live_robots(cands, wave)
             cands = apply_robots(cands, self.robots, cfg.ua)
         if cfg.dedup:
             cands = self._dedup(cands)

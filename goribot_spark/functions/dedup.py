@@ -324,36 +324,38 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
-def simhash_near_dups(
+def hamming_near_dups(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    exclude_zero: bool = True,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit simhash into 4x16-bit bands
-    and self-join on (band_id, band_value) — by pigeonhole, any pair with
-    hamming distance <= 3 shares at least one of 4 bands — then verify with
+    """Banded hamming near-dup pairs over ANY 64-bit hash column — text
+    SimHash or image perceptual hash (the image-payload analog: two crawled
+    images whose pHashes differ in <= max_hamming bits are near-duplicate
+    frames/crops). Bands the hash into 4x16-bit slices and self-joins on
+    (band_id, band_value) — by pigeonhole, any pair with hamming distance
+    <= 3 shares at least one of 4 bands — then verifies with
     ``bit_count(a XOR b) <= max_hamming`` JVM-side. Only (id, band) rows
-    shuffle, never texts. Empty docs (simhash 0 — every one of them would
-    land in band_val 0 of all 4 bands, a single quadratic bucket on a real
-    corpus) are excluded, and overfull band buckets are dropped via the
-    broadcast ``bucket_cap`` anti-join. Returns (id_a, id_b, hamming) with
-    id_a < id_b."""
-    sh = (
-        with_simhash(df.select(id_col, text_col), text_col)
-        .select(id_col, "simhash")
-        .where(F.col("simhash") != 0)
-    )
-    banded = sh.select(
-        F.col(id_col).alias("id"),
-        F.col("simhash"),
+    shuffle, never payloads. Hash 0 (empty doc / blank image) is excluded
+    when ``exclude_zero`` — every such row lands in band_val 0 of all 4
+    bands, one quadratic bucket on a real corpus — and overfull band
+    buckets are dropped via the broadcast ``bucket_cap`` anti-join.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_h"))
+    if exclude_zero:
+        h = h.where(F.col("_h") != 0)
+    banded = h.select(
+        "id",
+        "_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        F.shiftrightunsigned(F.col("_h"), 16 * b)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("band_val"),
                     )
@@ -361,7 +363,7 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", "bk.band_id", "bk.band_val")
+    ).select("id", "_h", "bk.band_id", "bk.band_val")
     banded = _drop_overfull(banded, ["band_id", "band_val"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -371,13 +373,40 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-                "hamming"
-            ),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def phash_near_dups(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash (input_hint's ``phash``
+    column): the banded hamming join above over the crawl results / images
+    table — the image-payload counterpart of text SimHash dedup."""
+    return hamming_near_dups(
+        images, id_col, phash_col, max_hamming, bucket_cap, exclude_zero=True
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairs: compute the 64-bit simhash (vectorized UDF)
+    and run the generic banded hamming join (see ``hamming_near_dups`` for
+    the band/cap/degenerate-key semantics)."""
+    sh = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    return hamming_near_dups(sh, id_col, "simhash", max_hamming, bucket_cap)
 
 
 # -- connected components over near-dup pairs -------------------------------

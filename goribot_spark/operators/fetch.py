@@ -125,6 +125,97 @@ def _parse_set_cookies(headers) -> dict[str, str] | None:
     return out or None
 
 
+def parse_robots_txt(text: str) -> list[tuple[str, str, bool]]:
+    """robots.txt → (ua, path_prefix, allow) rows for the admission table
+    (reference RobotsTxt extension, extensions.go:131-151, which delegates
+    to a standard robots parser; apply_robots resolves longest-prefix +
+    ua-specific-over-'*' precedence). Grammar: User-agent lines open a
+    group (consecutive UA lines share it), Allow/Disallow lines attach to
+    the current group; an empty Disallow value allows everything."""
+    rules: list[tuple[str, str, bool]] = []
+    uas: list[str] = []
+    ua_block_open = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if ua_block_open:  # new group after rules → reset
+                uas = []
+                ua_block_open = False
+            uas.append(val or "*")
+        elif key in ("allow", "disallow"):
+            ua_block_open = True
+            if not val:  # "Disallow:" (empty) = allow all
+                for ua in uas or ["*"]:
+                    rules.append((ua, "/", True))
+                continue
+            for ua in uas or ["*"]:
+                rules.append((ua, val, key == "allow"))
+    return rules
+
+
+ROBOTS_FETCH_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("ua", StringType(), False),
+        StructField("path_prefix", StringType(), False),
+        StructField("allow", StringType(), False),  # cast to bool by caller
+    ]
+)
+
+
+def live_fetch_robots(
+    hosts: DataFrame,
+    timeout_sec: float = 5.0,
+    threads: int = 8,
+    default_ua: str = "goribot-spark",
+) -> DataFrame:
+    """(host, url) frame → parsed robots rules (host, ua, path_prefix,
+    allow). ``url`` is any URL of the host (the robots URL resolves as
+    urljoin(url, '/robots.txt'), preserving scheme/port — the ``host``
+    column itself is portless). Unreachable/non-200 robots yield a single
+    allow-all marker row, so the host is cached as fetched and never
+    re-requested (the reference treats a missing robots.txt as allow-all).
+    mapInPandas — fetch + parse stay executor-side."""
+    from urllib.parse import urljoin
+
+    def batches(it):
+        from concurrent.futures import ThreadPoolExecutor
+
+        for pdf in it:
+            out = {"host": [], "ua": [], "path_prefix": [], "allow": []}
+            if len(pdf):
+                urls = [urljoin(u, "/robots.txt") for u in pdf["url"]]
+                with ThreadPoolExecutor(max_workers=min(threads, len(pdf))) as pool:
+                    results = list(
+                        pool.map(
+                            lambda u: fetch_one(u, None, None, timeout_sec, default_ua),
+                            urls,
+                        )
+                    )
+                for host, (status, _ct, body, _sc) in zip(pdf["host"], results):
+                    rules = []
+                    if status == 200 and body is not None:
+                        try:
+                            rules = parse_robots_txt(body.decode("utf-8", "replace"))
+                        except Exception:
+                            rules = []
+                    if not rules:
+                        rules = [("*", "/", True)]  # allow-all marker row
+                    for ua, prefix, allow in rules:
+                        out["host"].append(host)
+                        out["ua"].append(ua)
+                        out["path_prefix"].append(prefix)
+                        out["allow"].append("1" if allow else "0")
+            yield pd.DataFrame(out)
+
+    return hosts.mapInPandas(batches, ROBOTS_FETCH_SCHEMA)
+
+
 def live_fetch(
     df: DataFrame,
     timeout_sec: float = 5.0,

@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 
 from goribot_spark import schemas
 
-TABLES = ("frontier", "consumed", "seen", "results", "errors", "metrics", "host_state")
+TABLES = (
+    "frontier",
+    "consumed",
+    "seen",
+    "results",
+    "errors",
+    "metrics",
+    "host_state",
+    "robots_live",
+)
 
 _SCHEMAS = {
     "frontier": schemas.FRONTIER,
@@ -35,6 +44,7 @@ _SCHEMAS = {
     "results": schemas.RESULTS,
     "errors": schemas.ERRORS,
     "metrics": schemas.METRICS,
+    "robots_live": schemas.ROBOTS_RULES,
 }
 
 

@@ -54,7 +54,17 @@ class _Site(BaseHTTPRequestHandler):
             path = "/" + path.split("/", 3)[3]
         with srv.lock:
             srv.seen_headers.setdefault(path, []).append(dict(self.headers))
-        if path == "/p/0":
+        if path == "/robots.txt":
+            if getattr(srv, "serve_robots", False):
+                self._page(
+                    b"# fixture robots\nUser-agent: *\nDisallow: /p/4\n"
+                    b"User-agent: badbot\nDisallow: /\n",
+                    ctype="text/plain",
+                )
+            else:
+                self.send_response(404)
+                self.end_headers()
+        elif path == "/p/0":
             self._page(_html("root", ["/p/1", "2"], [("/img/0.png", "caption zero")]))
         elif path == "/p/1":
             self._page(
@@ -206,3 +216,50 @@ def test_live_fetch_proxy_and_request_shape(spark, site, tmp_path):
     assert {r["url"] for r in eng.store.fetch_log().collect()} == {
         "http://proxied.test/p/5"
     }
+
+
+def test_parse_robots_txt_grammar():
+    from goribot_spark.operators.fetch import parse_robots_txt
+
+    text = (
+        "# comment\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+        "User-agent: badbot\nUser-agent: worsebot\nDisallow: /\n"
+        "User-agent: emptybot\nDisallow:\n"
+    )
+    rules = parse_robots_txt(text)
+    assert ("*", "/private", False) in rules
+    assert ("*", "/private/ok", True) in rules
+    assert ("badbot", "/", False) in rules and ("worsebot", "/", False) in rules
+    assert ("emptybot", "/", True) in rules
+
+
+def test_live_robots_fetch_and_enforce(spark, site, tmp_path):
+    """F2's live leg: robots.txt is fetched over HTTP once per host, cached
+    in the robots_live table, and enforced at admission — the disallowed
+    subtree is never requested (reference RobotsTxt extension,
+    extensions.go:131-151)."""
+    site.serve_robots = True
+    base = f"http://127.0.0.1:{site.server_address[1]}"
+    run = str(tmp_path / "run_robots")
+    cfg = CrawlConfig(fetch_mode="live", robots=True, retry_max=2, max_waves=12,
+                      ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    eng.seed([f"{base}/p/0"])
+    eng.run()
+    urls = {r["url"] for r in eng.store.fetch_log().select("url").collect()}
+    # /p/4 is disallowed for '*' → never scheduled; the rest of the tree is
+    assert f"{base}/p/4" not in urls
+    assert urls == {f"{base}/p/{k}" for k in (0, 1, 2, 3, 5)}
+    assert site.flaky_hits == 0  # /p/4 (the flaky page) never hit the wire
+    # robots.txt fetched exactly once for the single host
+    assert len(site.seen_headers.get("/robots.txt", [])) == 1
+    # cached rules landed in the store (resumable) and mark the host
+    rules = {
+        (r["ua"], r["path_prefix"], r["allow"])
+        for r in eng.store.read("robots_live").collect()
+    }
+    assert ("*", "/p/4", False) in rules and ("badbot", "/", False) in rules
+    # its image never fetched either (parent page never parsed)
+    res_ids = {r["image_id"] for r in eng.store.read("results").collect()}
+    assert f"{base}/img/1.png" not in res_ids
+    assert f"{base}/img/0.png" in res_ids

@@ -129,3 +129,32 @@ def test_embedding_lsh_recall_floor(spark):
     recall = len(two & exact) / len(exact)
     assert recall >= 0.7, f"2-table recall {recall:.2f} below floor"
     assert len(two & exact) > len(one & exact) or len(one & exact) == len(exact)
+
+
+def test_phash_near_dups_images(spark):
+    """Image-payload near-dup: banded hamming join over the phash column
+    (input_hint schema). Perturbed copies of an image land within the
+    hamming radius; blank images (phash 0) are excluded; a degenerate mass
+    of identical hashes is capped away; unrelated hashes don't pair."""
+    import numpy as np
+
+    from goribot_spark.functions.dedup import phash_near_dups
+    from goribot_spark.functions.pngcodec import phash64
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    img = np.stack([base, base, base], axis=2)
+    noisy = img.copy()
+    noisy[:2, :2, :] = 255  # tiny corner perturbation
+    h0, h1 = phash64(img), phash64(noisy)
+    assert bin(h0 ^ h1).count("1") <= 3  # pngcodec locality holds
+
+    rows = [("a0", h0), ("a1", h1)]
+    rows += [(f"blank{i}", 0) for i in range(200)]          # degenerate zeros
+    rows += [(f"mass{i}", 0x1234_5678_9ABC_DEF0) for i in range(200)]  # over-cap
+    rows += [(f"far{i}", (0x0F0F_0F0F << i) & 0x7FFF_FFFF_FFFF_FFFF) for i in range(8)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = phash_near_dups(df, max_hamming=3, bucket_cap=64).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("a0", "a1") in got
+    assert all(not a.startswith(("blank", "mass")) for p in got for a in p)
