@@ -25,9 +25,11 @@ from goribot_spark.functions.dedup import (
     exact_dup_groups,
     minhash_near_dups,
     minhash_signature,
+    phash_near_dups,
     simhash_near_dups,
     with_simhash,
 )
+from goribot_spark.functions.multimodal import render_fingerprint_images
 from goribot_spark.functions.similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
@@ -402,6 +404,30 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(d, max_hamming=3)
 
 
+def q_image_phash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs end-to-end through the REAL multimodal
+    path: per-document deterministic "hero image" (pixels tiled from the
+    8-token boilerplate fingerprint — the declared synthetic stand-in for a
+    page's lead image) → PNG encode → PNG decode → 64-bit pHash, all inside
+    one Arrow-batched ``mapInPandas``, then the banded hamming self-join
+    (``phash_near_dups``: 4x16-bit bands, zero-hash excluded, buckets
+    capped). Same-boilerplate pages share the image bit-for-bit (hamming 0);
+    unrelated fingerprints are ~32 bits apart, far outside the <=3 gate —
+    so the oracle is exact prefix-fingerprint equality."""
+    d = _t(spark, sf_dir, "documents")
+    fp8 = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
+    docs = (
+        d.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", fp8.alias("fp8"))
+    )
+    # Persist the (id, phash) projection: the banded join references it on
+    # both sides, and without a materialization the encode/decode/phash
+    # lineage would run twice. In the crawl pipeline phash is a stored
+    # column of the results table (engine.py) — this mirrors that.
+    imgs = render_fingerprint_images(docs).select("doc_id", "phash").persist()
+    return phash_near_dups(imgs, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -441,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": q_corpus_splits,
         "source_capped": q_source_capped,
         "simhash_near_dups": q_simhash_near_dups,
+        "image_phash_pairs": q_image_phash_pairs,
     }
 
 
@@ -943,5 +970,17 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, source, n_chars from documents
             qualify row_number() over (
               partition by source order by n_chars desc, doc_id) <= 40
+        """,
+        # Same-fingerprint pages share the synthetic hero image byte-for-byte
+        # (pHash hamming 0); distinct md5s give ~32-bit-apart noise hashes,
+        # so the <=3 near-dup set is exactly the fp8-equality pairs (verified
+        # empirically over the fixed corpus — the render is deterministic).
+        "image_phash_pairs": f"""
+            with p as (
+              select doc_id, md5(array_to_string({_TOKS}[1:8], ' ')) fp8
+              from documents where length(trim(text)) > 0
+            )
+            select a.doc_id id_a, b.doc_id id_b, 0::INT hamming
+            from p a join p b on a.fp8 = b.fp8 and a.doc_id < b.doc_id
         """,
     }

@@ -120,6 +120,71 @@ def image_features(df: DataFrame, id_col: str = "image_id",
     return df.select(id_col, bytes_col).mapInPandas(run, FEATURES)
 
 
+def render_fingerprint_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp8",
+    size: int = 16,
+) -> DataFrame:
+    """Deterministic synthetic image per content fingerprint + its pHash.
+
+    The sandbox corpus has no image column tied to documents, so this is the
+    declared deterministic fake for "pages sharing boilerplate reuse the
+    same hero image": the 32-char hex fingerprint is tiled into a
+    ``size``x``size`` RGB array and round-tripped through the REAL codec
+    path — ``encode_png`` → ``decode_png`` → ``phash64`` — so identical
+    fingerprints yield identical images (pHash hamming 0) and distinct
+    fingerprints yield unrelated noise (hamming ~32). Everything downstream
+    (``phash_near_dups`` banded hamming join) is the production image
+    near-dup plumbing; only the pixel source is synthetic.
+
+    Returns (id, bytes, phash); input partitioning carries through (no
+    shuffle — one Arrow batch in, one out)."""
+    from pyspark.sql.types import LongType
+
+    from goribot_spark.functions.pngcodec import phash64
+
+    import hashlib
+
+    n_bytes = size * size * 3
+    n_blocks = (n_bytes + 15) // 16
+
+    def _fill(fp: str) -> bytes:
+        # Chained md5 keystream: full-range, non-periodic bytes per
+        # fingerprint (a straight tiling of the hex string is so low-variance
+        # that dHash box-mean gradients become near-ties and unrelated
+        # fingerprints collide under the hamming<=3 gate).
+        return b"".join(
+            hashlib.md5(f"{fp}:{i}".encode()).digest() for i in range(n_blocks)
+        )[:n_bytes]
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("bytes", BinaryType(), True),
+            StructField("phash", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, hashes = [], []
+            for fp in pdf[fp_col]:
+                px = (
+                    np.frombuffer(_fill(fp), np.uint8)
+                    .reshape(size, size, 3)
+                    .copy()
+                )
+                png = encode_png(px)
+                blobs.append(png)
+                hashes.append(phash64(decode_png(png)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bytes": blobs, "phash": hashes}
+            )
+
+    return df.select(id_col, fp_col).mapInPandas(run, out_schema)
+
+
 # -- stubbed decode legs (codec not in sandbox; plumbing is real) -----------
 
 try:  # pragma: no cover

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from goribot_spark.functions.multimodal import (
     image_features,
+    render_fingerprint_images,
     resize_images,
     sample_frames,
 )
@@ -156,6 +157,31 @@ def test_image_features(spark):
     got = feats["im0"]
     assert abs(got["mean_rgb"][0] - round(float(px0[:, :, 0].mean()), 4)) < 1e-6
     assert got["error"] is None and got["aspect"] == round(30 / 24, 4)
+
+
+def test_render_fingerprint_images(spark):
+    """Deterministic hero-image render: same fingerprint → identical bytes
+    and pHash 0 apart; distinct fingerprints → hashes far outside the
+    hamming<=3 near-dup gate (the property the image_phash_pairs oracle
+    rests on). The PNG round-trips through the real codec."""
+    import hashlib
+
+    fps = [hashlib.md5(str(i).encode()).hexdigest() for i in range(12)]
+    rows = [(i, fps[i % 6]) for i in range(12)]  # 6 pairs sharing a fp
+    df = spark.createDataFrame(rows, "doc_id long, fp8 string")
+    out = {r["doc_id"]: r for r in render_fingerprint_images(df).collect()}
+    assert len(out) == 12
+    for i in range(6):
+        a, b = out[i], out[i + 6]
+        assert bytes(a["bytes"]) == bytes(b["bytes"])
+        assert a["phash"] == b["phash"] != 0
+        px = decode_png(bytes(a["bytes"]))
+        assert px.shape == (16, 16, 3)
+    hashes = [out[i]["phash"] for i in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            ham = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            assert ham > 3, (i, j, ham)
 
 
 def test_sample_frames_stub(spark):
