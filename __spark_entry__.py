@@ -406,9 +406,10 @@ def q_simhash_near_dups(spark, sf_dir):
 
 def q_image_phash_pairs(spark, sf_dir):
     """Image near-duplicate pairs end-to-end through the REAL multimodal
-    path: per-document deterministic "hero image" (pixels tiled from the
-    8-token boilerplate fingerprint — the declared synthetic stand-in for a
-    page's lead image) → PNG encode → PNG decode → 64-bit pHash, all inside
+    path: per-document deterministic "hero image" (md5-keystream pixels
+    derived from the 8-token boilerplate fingerprint — the declared
+    synthetic stand-in for a page's lead image) → PNG encode → decode →
+    64-bit pHash, all inside
     one Arrow-batched ``mapInPandas``, then the banded hamming self-join
     (``phash_near_dups``: 4x16-bit bands, zero-hash excluded, buckets
     capped). Same-boilerplate pages share the image bit-for-bit (hamming 0);
@@ -420,10 +421,13 @@ def q_image_phash_pairs(spark, sf_dir):
         d.where(F.length(F.trim("text")) > 0)
         .select("doc_id", fp8.alias("fp8"))
     )
-    # Persist the (id, phash) projection: the banded join references it on
-    # both sides, and without a materialization the encode/decode/phash
-    # lineage would run twice. In the crawl pipeline phash is a stored
-    # column of the results table (engine.py) — this mirrors that.
+    # Repartition off the input-file partitioning first (a small SF reads as
+    # ONE file → the render UDF would run on one core; same trap as the
+    # minhash hash aggregation), then persist the (id, phash) projection:
+    # the banded join references it on both sides, and without a
+    # materialization the encode/decode/phash lineage would run twice. In
+    # the crawl pipeline phash is a stored column of the results table.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     imgs = render_fingerprint_images(docs).select("doc_id", "phash").persist()
     return phash_near_dups(imgs, id_col="doc_id")
 
