@@ -40,6 +40,7 @@ from goribot_spark.functions.similarity import (
 )
 from goribot_spark.functions.sampling import cap_per_source, hash_split
 from goribot_spark.functions.text import (
+    bpe_ish_token_count,
     fingerprint,
     lang_id,
     quality_score,
@@ -156,9 +157,15 @@ def q_hourly_wave_metrics(spark, sf_dir):
 
 
 def q_doc_tokens(spark, sf_dir):
+    """Token counting, both grains: whitespace tokens and the BPE-ish
+    sub-word estimate (letter<->digit boundary splits) — all JVM regex
+    expressions, no Python in the path."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens"), F.col("n_chars")
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.col("n_chars"),
     )
 
 
@@ -900,6 +907,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": f"""
             select doc_id,
               case when length(trim(text)) = 0 then 0 else len({_TOKS}) end n_tokens,
+              case when length(trim(text)) = 0 then 0 else
+                len(string_split_regex(
+                  regexp_replace(
+                    regexp_replace(lower(trim(text)), '([a-z])([0-9])', '\\1 \\2', 'g'),
+                    '([0-9])([a-z])', '\\1 \\2', 'g'),
+                  '\\s+')) end n_bpe_tokens,
               n_chars
             from documents
         """,

@@ -38,12 +38,15 @@ def token_count(col) -> Column:
 
 
 def bpe_ish_token_count(col) -> Column:
-    """Sub-word-ish token estimate: split on whitespace AND punctuation/digit
-    boundaries (a cheap BPE stand-in: counts word pieces, digits, punct runs)."""
-    pieces = F.split(
-        F.lower(F.trim(col)), r"(\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z]))"
-    )
-    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+    """Sub-word-ish token estimate: whitespace tokens split further at
+    letter<->digit boundaries (a cheap BPE stand-in — 'ab12cd' counts as 3
+    pieces). Two global regex replaces insert a space at each boundary,
+    then whitespace-count; deliberately lookaround-free so the identical
+    formula runs in the DuckDB oracle (RE2 has no lookbehind)."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, "([a-z])([0-9])", "$1 $2")
+    c = F.regexp_replace(c, "([0-9])([a-z])", "$1 $2")
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
 
 
 def fingerprint(col) -> Column:
