@@ -277,3 +277,46 @@ def test_resume_equals_uninterrupted(spark, fx, tmp_path):
     e2.run()
     assert engine_fetched_set(e2) == engine_fetched_set(full)
     assert engine_items_set(e2) == engine_items_set(full)
+
+
+def test_resume_after_mid_wave_crash(spark, fx, tmp_path):
+    """Mid-wave crash safety (north rule 'resumable from checkpoint'): a
+    process that dies AFTER writing some of a wave's table partitions but
+    BEFORE the atomic manifest commit leaves orphan parquet dirs; reads only
+    union manifest-committed waves, so the orphans are invisible and a fresh
+    engine re-runs the wave to the identical final state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from goribot_spark.engine import CrawlConfig, CrawlEngine
+
+    full = crawl(spark, fx, tmp_path / "full2", SEEDS2, max_depth=2, max_waves=16)
+
+    rd = str(tmp_path / "crashed")
+    shutil.rmtree(rd, ignore_errors=True)
+    e1 = CrawlEngine(spark, fx, rd, CrawlConfig(max_depth=2, max_waves=16))
+    e1.seed(SEEDS2)
+    e1.run_wave()
+    # Simulate the crash: partial, possibly-wrong wave-99 partitions land in
+    # results + consumed (as if the writer threads finished a subset of
+    # tables), but commit_wave never runs.
+    junk = e1.store.read("results").limit(1).withColumn("wave", F.lit(99))
+    e1.store.write("results", 99, junk)
+    e1.store.write(
+        "consumed",
+        99,
+        spark.createDataFrame(
+            [(123456789, 0, 0, 99)], "url_hash long, retry_count int, seq long, wave int"
+        ),
+    )
+    assert 99 not in e1.store.committed_waves()
+    # Process restart on the same run_dir: orphans ignored, crawl completes.
+    e2 = CrawlEngine(spark, fx, rd, CrawlConfig(max_depth=2, max_waves=16))
+    e2.run()
+    assert engine_fetched_set(e2) == engine_fetched_set(full)
+    assert engine_items_set(e2) == engine_items_set(full)
+    # The fabricated url_hash never leaked into the visible fetch log.
+    assert (
+        e2.store.fetch_log().where(F.col("url_hash") == 123456789).count() == 0
+    )
