@@ -569,8 +569,8 @@ where a.doc_id < b.doc_id
 # key = comma-joined 4-slice of the signature. Docs with NO shingles (< n tokens)
 # are excluded before banding — their all-null signatures would otherwise
 # collapse into one degenerate '' band bucket — and band buckets holding
-# more than LSH_BUCKET_CAP docs are dropped entirely (the broadcast-anti-join
-# cap in dedup._drop_overfull); candidates join per (band, key).
+# more than LSH_BUCKET_CAP docs degrade to star candidates against the
+# bucket-min rep (dedup._split_buckets); candidates join per (band, key).
 _MINHASH_LSH_SQL = """
 with toks as (select doc_id, {toks} w from documents),
 sh as (
@@ -587,14 +587,17 @@ sig as (
 ),
 bands as (
   select doc_id, b.b band_id,
-    array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ',') band_key
+    array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ',') band_key,
+    count(*) over (partition by b.b, band_key) _cnt,
+    min(doc_id) over (partition by b.b, band_key) _rep
   from sig cross join (select unnest(generate_series(0, 3)) b) b
-  qualify count(*) over (partition by b.b, band_key) <= {cap}
 ),
 cand as (
-  select distinct a.doc_id id_a, b.doc_id id_b
+  select a.doc_id id_a, b.doc_id id_b
   from bands a join bands b on a.band_id = b.band_id and a.band_key = b.band_key
-  where a.doc_id < b.doc_id
+  where a.doc_id < b.doc_id and a._cnt <= {cap}
+  union
+  select _rep, doc_id from bands where _cnt > {cap} and doc_id != _rep
 ),
 j as (
   select id_a, id_b,
@@ -680,21 +683,31 @@ from full_sim
 # same pigeonhole-complete candidate generation as dedup.simhash_near_dups.
 # Empty docs (simhash 0) are excluded before banding (every one would land
 # in band_val 0 of all 4 bands — one degenerate quadratic bucket), and band
-# buckets over LSH_BUCKET_CAP docs are dropped, mirroring _drop_overfull.
+# buckets over LSH_BUCKET_CAP docs degrade to star pairs against the
+# bucket-min rep, mirroring dedup._split_buckets.
 _SIMHASH_PAIRS_SQL = (
     "with "
     + _SIMHASH_CORE
     + f"""
 , bands as (
-  select doc_id, uv, b.b band_id, (uv >> (16 * b.b)) & 65535 band_val
+  select doc_id, uv, b.b band_id, (uv >> (16 * b.b)) & 65535 band_val,
+    count(*) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _cnt,
+    min(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _rep
   from full_sim cross join (select unnest(generate_series(0, 3)) b) b
   where uv != 0
-  qualify count(*) over (partition by b.b, band_val) <= {LSH_BUCKET_CAP}
+),
+cand as (
+  select a.doc_id id_a, b.doc_id id_b
+  from bands a join bands b on a.band_id = b.band_id and a.band_val = b.band_val
+  where a.doc_id < b.doc_id and a._cnt <= {LSH_BUCKET_CAP}
+  union
+  select _rep, doc_id from bands where _cnt > {LSH_BUCKET_CAP} and doc_id != _rep
 )
-select distinct a.doc_id id_a, b.doc_id id_b,
-  bit_count(xor(a.uv, b.uv))::INT hamming
-from bands a join bands b on a.band_id = b.band_id and a.band_val = b.band_val
-where a.doc_id < b.doc_id and bit_count(xor(a.uv, b.uv)) <= 3
+select distinct id_a, id_b, bit_count(xor(fa.uv, fb.uv))::INT hamming
+from cand
+join full_sim fa on fa.doc_id = id_a
+join full_sim fb on fb.doc_id = id_b
+where bit_count(xor(fa.uv, fb.uv)) <= 3
 """
 )
 
@@ -743,27 +756,32 @@ qualify rank <= 5
 """
 )
 
-# Overfull (table, bucket) groups beyond the cap are dropped before the
-# self-join (mirror of similarity.embedding_near_dups's _drop_overfull).
+# Overfull (table, bucket) groups beyond the cap degrade to star pairs
+# against the bucket-min rep (mirror of embedding_near_dups's
+# dedup._split_buckets path).
 _NEARDUP_LSH_SQL = (
     "with "
-    + _LSH_BUCKET_CTE.replace(
-        "group by vec_id, p // 4\n)",
-        "group by vec_id, p // 4\n"
-        "  qualify count(*) over (partition by table_id, bucket) <= 1024\n)",
-    )
+    + _LSH_BUCKET_CTE
     + """
-, cand as (
-  select distinct a.vec_id id_a, b.vec_id id_b
-  from buck a join buck b on a.table_id = b.table_id and a.bucket = b.bucket
-  where a.vec_id < b.vec_id
+, bk as (
+  select vec_id, table_id, bucket,
+    count(*) over (partition by table_id, bucket) _cnt,
+    min(vec_id) over (partition by table_id, bucket) _rep
+  from buck
+),
+cand as (
+  select a.vec_id id_a, b.vec_id id_b
+  from bk a join bk b on a.table_id = b.table_id and a.bucket = b.bucket
+  where a.vec_id < b.vec_id and a._cnt <= 1024
+  union
+  select _rep, vec_id from bk where _cnt > 1024 and vec_id != _rep
 )
 select id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) sim
 from cand join e ea on ea.vec_id = id_a join e eb on eb.vec_id = id_b
 where list_cosine_similarity(ea.v, eb.v) >= 0.45
 """
 )
-assert "qualify count(*) over (partition by table_id, bucket)" in _NEARDUP_LSH_SQL
+assert "_cnt <= 1024" in _NEARDUP_LSH_SQL  # cap mirror (star degrade, not drop)
 
 
 # IVF coarse quantizer (similarity.ivf_centroids / ann_topk_ivf parity):
@@ -992,12 +1010,25 @@ def oracle_sql() -> dict[str, str]:
         # (pHash hamming 0); distinct md5s give ~32-bit-apart noise hashes,
         # so the <=3 near-dup set is exactly the fp8-equality pairs (verified
         # empirically over the fixed corpus — the render is deterministic).
+        # Groups over the band-bucket cap degrade to star pairs against the
+        # group-min doc (identical phashes -> the fp8 group IS the bucket in
+        # every band, so the fp8-space mirror is exact).
         "image_phash_pairs": f"""
             with p as (
               select doc_id, md5(array_to_string({_TOKS}[1:8], ' ')) fp8
               from documents where length(trim(text)) > 0
+            ),
+            g as (
+              select doc_id, fp8,
+                count(*) over (partition by fp8) _cnt,
+                min(doc_id) over (partition by fp8) _rep
+              from p
             )
             select a.doc_id id_a, b.doc_id id_b, 0::INT hamming
-            from p a join p b on a.fp8 = b.fp8 and a.doc_id < b.doc_id
+            from g a join g b on a.fp8 = b.fp8 and a.doc_id < b.doc_id
+            where a._cnt <= {LSH_BUCKET_CAP}
+            union
+            select _rep, doc_id, 0::INT
+            from g where _cnt > {LSH_BUCKET_CAP} and doc_id != _rep
         """,
     }

@@ -651,8 +651,19 @@ class CrawlEngine:
                 resolve_url_udf(F.col("src_url"), F.col("ri.ref")).alias("image_id"),
                 F.col("ri.alt").alias("caption"),
             )
+            img_urls = refs.select(F.col("image_id").alias("url")).distinct()
+            if self.robots is not None:
+                # Image payloads are HTTP requests like any other: a host
+                # that disallows a path must not be fetched for its images
+                # either (images often live on other hosts than the page —
+                # their robots.txt is fetched+cached here the same lazy way).
+                from goribot_spark.operators.discover import host_of
+
+                img_urls = img_urls.withColumn("host", host_of(F.col("url")))
+                self._ensure_live_robots(img_urls, wave)
+                img_urls = apply_robots(img_urls, self.robots, cfg.ua).drop("host")
             img_bytes = live_fetch(
-                refs.select(F.col("image_id").alias("url")).distinct(),
+                img_urls,
                 cfg.fetch_timeout_sec,
                 cfg.fetch_threads,
                 cfg.ua,
@@ -946,6 +957,12 @@ class CrawlEngine:
         self.store.refresh()
         self._pending = None
         self._seen = None
+        # Live mode accumulates fetched robots rules per host; another
+        # session may have fetched+committed more hosts — reload the
+        # robots_live snapshot so the next wave's left_anti sees them and
+        # doesn't re-fetch robots.txt for those hosts.
+        if self.cfg.robots and self.cfg.fetch_mode == "live":
+            self.robots = self.store.read("robots_live")
         if self.cfg.dedup and self.cfg.use_bloom:
             self._bloom = self.store.load_bloom_union()
 

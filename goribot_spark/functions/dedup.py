@@ -18,30 +18,55 @@ from pyspark.sql.types import LongType
 
 from goribot_spark.functions.text import fingerprint, md5_long, tokens, word_shingles
 
-# Band/bucket self-joins larger than this are dropped from every LSH
-# candidate generator (minhash bands, simhash bands, embedding hyperplane
-# buckets). Degenerate keys concentrate in single buckets BY CONSTRUCTION —
-# every <n-token doc has an all-null minhash signature, every empty doc has
-# simhash 0 — and on a real corpus millions of empty/boilerplate rows in one
-# bucket go quadratic. Overfull buckets are rare (they ARE the skew), so the
-# exclusion list broadcasts; verbatim duplicates inside a dropped bucket are
-# still collapsed by the exact-fingerprint path (exact_dup_groups).
+# Band/bucket self-joins larger than this degrade to linear star candidates
+# in every LSH candidate generator (minhash bands, simhash bands, embedding
+# hyperplane buckets) — see _split_buckets. Degenerate keys concentrate in
+# single buckets BY CONSTRUCTION — every <n-token doc has an all-null
+# minhash signature, every empty doc has simhash 0 — and on a real corpus
+# millions of empty/boilerplate rows in one bucket go quadratic under an
+# all-pairs join. Overfull buckets are rare (they ARE the skew), so the
+# over-cap key and representative lists broadcast.
 LSH_BUCKET_CAP = 64
 
 
-def _drop_overfull(banded: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
-    """Anti-join away rows whose band/bucket key holds more than ``cap``
-    members. The over-cap list is a per-key count (map-side partial agg, only
-    key+count shuffle) broadcast back — the FP8_BUCKET_CAP pattern."""
+def _split_buckets(
+    banded: DataFrame, key_cols: list[str], cap: int | None, id_col: str = "id"
+) -> tuple[DataFrame, DataFrame | None]:
+    """Bound every band/bucket's candidate cost WITHOUT losing mega-groups.
+
+    Buckets holding <= ``cap`` members keep the all-pairs self-join (cost
+    bounded at C(cap, 2) per bucket). Over-cap buckets — precisely the
+    boilerplate/degenerate masses that would go quadratic — degrade to
+    LINEAR star candidates (bucket-min id, member id) against the bucket's
+    representative instead of being dropped outright: a million-page
+    near-verbatim mass still reaches the verify stage (and clusters into
+    one component via connected_components) at O(n) candidates, where the
+    old drop-the-bucket behavior produced ZERO pairs for any near-dup group
+    larger than the cap. False bucket collisions inside a mass are pruned
+    by the caller's exact verify (Jaccard / hamming / cosine), same as
+    equi-join candidates. The over-cap key list and per-bucket reps are
+    count/min aggregates (map-side combine, keys only) broadcast back.
+
+    Returns (kept_banded, star_pairs) — star_pairs is (id_a, id_b) with
+    id_a < id_b (the rep is the min), or None when cap is None."""
     if cap is None:
-        return banded
+        return banded, None
     over = (
         banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > cap)
         .select(*key_cols)
     )
-    return banded.join(F.broadcast(over), key_cols, "left_anti")
+    kept = banded.join(F.broadcast(over), key_cols, "left_anti")
+    heavy = banded.join(F.broadcast(over), key_cols, "left_semi")
+    reps = heavy.groupBy(*key_cols).agg(F.min(id_col).alias("_rep"))
+    stars = (
+        heavy.join(F.broadcast(reps), key_cols)
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    return kept, stars
 
 
 # -- exact dedup ------------------------------------------------------------
@@ -150,7 +175,7 @@ def _banded_pairs(
     """(id_a, id_b) distinct candidate pairs from a (id, sig) frame: drop
     all-null signatures (docs with no shingles — the degenerate '' band key
     that collapses every short/empty doc into one quadratic bucket), band,
-    cap overfull buckets, self-join per (band_id, band_key)."""
+    split overfull buckets to star candidates, self-join per (band_id, band_key)."""
     rows_per_band = num_hashes // bands
     banded = (
         sigd.where(F.col("sig")[0].isNotNull())
@@ -176,15 +201,17 @@ def _banded_pairs(
         )
         .select("id", "bk.band_id", "bk.band_key")
     )
-    banded = _drop_overfull(banded, ["band_id", "band_key"], bucket_cap)
+    banded, stars = _split_buckets(banded, ["band_id", "band_key"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band_id", "band_key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
+    return pairs.distinct()
 
 
 def lsh_candidate_pairs(
@@ -198,7 +225,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, self-join on
     (band_id, band_key). Only (id, band, key) rows shuffle; pair explosion is
-    bounded per bucket by ``bucket_cap`` (overfull buckets dropped, all-null
+    bounded per bucket by ``bucket_cap`` (overfull buckets degrade to linear
+    star candidates against the bucket-min representative, all-null
     signatures excluded). Returns (id_a, id_b) with id_a < id_b, distinct."""
     sigd = _signature_from_shingles(
         shingle_sets(df, id_col, text_col, shingle_n), num_hashes
@@ -342,7 +370,9 @@ def hamming_near_dups(
     shuffle, never payloads. Hash 0 (empty doc / blank image) is excluded
     when ``exclude_zero`` — every such row lands in band_val 0 of all 4
     bands, one quadratic bucket on a real corpus — and overfull band
-    buckets are dropped via the broadcast ``bucket_cap`` anti-join.
+    buckets degrade to linear star candidates against the bucket-min
+    representative (``_split_buckets``), so an over-cap mass of identical
+    hashes still pairs with its rep (hamming 0) instead of vanishing.
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_h"))
     if exclude_zero:
@@ -364,10 +394,10 @@ def hamming_near_dups(
             )
         ).alias("bk"),
     ).select("id", "_h", "bk.band_id", "bk.band_val")
-    banded = _drop_overfull(banded, ["band_id", "band_val"], bucket_cap)
+    banded, stars = _split_buckets(banded, ["band_id", "band_val"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
@@ -375,9 +405,23 @@ def hamming_near_dups(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if stars is not None:
+        star_pairs = (
+            stars.join(
+                h.select(F.col("id").alias("id_a"), F.col("_h").alias("_ha")), "id_a"
+            )
+            .join(
+                h.select(F.col("id").alias("id_b"), F.col("_h").alias("_hb")), "id_b"
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(star_pairs)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()
 
 
 def phash_near_dups(
@@ -495,8 +539,12 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        if it < 2:
-            continue  # no action: this round's work fuses into the next job
+        if it < min(2, max_iter - 2):
+            # No action: this round's work fuses into the next job. The
+            # skip leaves at least TWO probed rounds (convergence compares
+            # consecutive signatures), so a small max_iter can still
+            # observe convergence instead of always warning.
+            continue
         # ONE action: the aggregate materializes the lazy checkpoint (and any
         # unprobed rounds before it) and returns the signature.
         row = e.agg(

@@ -71,18 +71,26 @@ def cap_per_source(
          row is top-cap within its salt, so the composition is exact.
 
     Output rows are identical to the single-window plan; only the physical
-    shape changes.
+    shape changes. NULL sources are one capped group (a window PARTITION BY
+    groups nulls together, and missing-source docs are exactly the kind of
+    mass this cap exists to bound) — the equi-joins below would silently
+    pass every null row through the light branch, so grouping runs on a
+    null-coalesced internal key.
     """
     if order_exprs is None:
         order_exprs = [F.col("doc_id")]
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    over = counts.where(F.col("_n") > cap).select(source_col)
-    light = df.join(F.broadcast(over), source_col, "left_anti")
-    heavy = df.join(F.broadcast(over), source_col, "left_semi")
+    keyed = df.withColumn(
+        "_src_key",
+        F.coalesce(F.col(source_col).cast("string"), F.lit("\x00<null-source>")),
+    )
+    counts = keyed.groupBy("_src_key").agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.where(F.col("_n") > cap).select("_src_key")
+    light = keyed.join(F.broadcast(over), "_src_key", "left_anti")
+    heavy = keyed.join(F.broadcast(over), "_src_key", "left_semi")
     w_local = Window.partitionBy(
-        source_col, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(num_salts))
+        "_src_key", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(num_salts))
     ).orderBy(*order_exprs)
-    w_global = Window.partitionBy(source_col).orderBy(*order_exprs)
+    w_global = Window.partitionBy("_src_key").orderBy(*order_exprs)
     capped = (
         heavy.withColumn("_lrn", F.row_number().over(w_local))
         .where(F.col("_lrn") <= cap)
@@ -90,4 +98,4 @@ def cap_per_source(
         .where(F.col("_grn") <= cap)
         .drop("_lrn", "_grn")
     )
-    return light.unionByName(capped)
+    return light.unionByName(capped).drop("_src_key")

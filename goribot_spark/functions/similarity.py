@@ -345,33 +345,36 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 2,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = EMB_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
     exact cosine verify. Candidates come from ``num_tables`` independent
     hyperplane tables (OR-construction — recall 1-(1-p^r)^b instead of the
     single-table p^r cliff); overfull (table, bucket) groups beyond
-    ``bucket_cap`` are dropped via a broadcast anti-join before the
-    self-join, so one hot bucket (e.g. a spike of zero/constant embeddings)
-    can never go quadratic. Only (id, table, bucket) rows enter the
+    ``bucket_cap`` degrade to linear star candidates against the bucket-min
+    representative (dedup._split_buckets), so one hot bucket (e.g. a spike
+    of zero/constant embeddings) can never go quadratic but an over-cap
+    mass of true near-dups still reaches the verify stage. ``bucket_cap=
+    None`` disables the cap (same convention as the dedup generators —
+    useful for recall audits). Only (id, table, bucket) rows enter the
     candidate shuffle; vectors join back in for the exact verify. Returns
     (id_a, id_b, sim) with id_a < id_b."""
-    from goribot_spark.functions.dedup import _drop_overfull
+    from goribot_spark.functions.dedup import _split_buckets
 
-    if bucket_cap is None:
-        bucket_cap = EMB_BUCKET_CAP
     keyed = with_lsh_tables(
         emb.select(F.col(id_col).alias("id"), vec_col), dim, num_planes, vec_col,
         num_tables,
     ).select("id", "table_id", "bucket")
-    keyed = _drop_overfull(keyed, ["table_id", "bucket"], bucket_cap)
+    keyed, stars = _split_buckets(keyed, ["table_id", "bucket"], bucket_cap)
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["table_id", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if stars is not None:
+        cand = cand.unionByName(stars)
+    cand = cand.distinct()
     vecs = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")

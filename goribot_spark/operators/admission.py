@@ -26,16 +26,17 @@ class LimitRule:
     host_glob: str
     allow: bool = True
     delay_sec: float | None = None
-    # RandomDelay (limiter.go:83-86): an EXTRA uniform(0, random_delay_sec)
-    # sleep per request on top of delay_sec. Batch translation: a
-    # deterministic per-(rule, wave) jitter draw shrinks that wave's
-    # admission cap — see politeness.rule_wave_cap.
-    random_delay_sec: float | None = None
     rate_per_sec: float | None = None
     parallelism: int | None = None
     max_req: int | None = None
     max_depth: int | None = None
     rule_id: int = -1
+    # RandomDelay (limiter.go:83-86): an EXTRA uniform(0, random_delay_sec)
+    # sleep per request on top of delay_sec. Batch translation: deterministic
+    # per-(rule, wave, slot) jitter draws shrink that wave's admission cap —
+    # see politeness.rule_wave_cap. Deliberately LAST so the longstanding
+    # positional meaning of the earlier fields is unchanged.
+    random_delay_sec: float | None = None
 
     def regex(self) -> str:
         # Reference matches glob OR regexp on lowercased host (limiter.go:40-48).

@@ -38,25 +38,45 @@ def rule_wave_cap(
     """Per-wave admission cap for hosts matching ``rule`` + new token balance.
 
     T2 RandomDelay (limiter.go:83-86): the reference sleeps an extra
-    uniform(0, RandomDelay) per request after the fixed Delay, so the
-    per-request spacing for a wave is modeled as delay + u·random_delay with
-    ``u`` a deterministic hash-draw in [0, 1) keyed by (rule, wave) — same
-    wave, same cap (reproducible runs; the reference's time-seeded rand is
-    deliberately not reproduced), expected cap over waves ≈
-    window / (delay + random_delay/2), bounds [window/(delay+rd),
-    window/delay] — the budget-domain image of the wall-clock contract.
+    uniform(0, RandomDelay) per request after the fixed Delay. The wave cap
+    is the number of per-request spacings delay + u_i·random_delay that fit
+    in the window, with u_i a deterministic hash-draw in [0, 1) keyed by
+    (rule, wave, slot) — same wave, same cap (reproducible runs; the
+    reference's time-seeded rand is deliberately not reproduced). Per-SLOT
+    draws matter: a single per-wave draw makes the cap heavy-tailed
+    (window/(u·rd) explodes as u→0, an unbounded wave on a delay-less
+    rule); summing independent slot draws concentrates the cap at
+    ≈ window/(delay + rd/2), hard bounds [window/(delay+rd),
+    window/delay].
+
+    Branch precedence mirrors the reference exactly: ``Delay > 0 ||
+    RandomDelay > 0`` takes the delay branch and a Rate on the same rule is
+    IGNORED (limiter.go:77-90's if/else-if — tested:
+    test_random_delay_shadows_rate_like_reference).
     """
     rd = rule.random_delay_sec or 0.0
     if rule.delay_sec or rd:
+        d = rule.delay_sec or 0.0
+        if not rd:
+            return max(1, math.floor(window_sec / d)), 0.0
+        expected = d + rd / 2.0
+        if window_sec / expected > 100_000:
+            # config-scale guard: don't loop millions of hash draws for a
+            # near-zero spacing; the concentrated expected-rate cap is
+            # indistinguishable at this magnitude.
+            return max(1, math.floor(window_sec / expected)), 0.0
         from goribot_spark.canon import xxh64
 
-        u = 0.0
-        if rd:
-            u = (xxh64(f"rdelay:{rule.rule_id}:{wave}".encode()) % 1_000_000) / 1e6
-        eff = (rule.delay_sec or 0.0) + u * rd
-        if eff <= 0:
-            return None, 0.0  # jitter drew ~0 and no fixed delay: no cap this wave
-        return max(1, math.floor(window_sec / eff)), 0.0
+        budget, k = 0.0, 0
+        while True:
+            u = (
+                xxh64(f"rdelay:{rule.rule_id}:{wave}:{k}".encode()) % 1_000_000
+            ) / 1e6
+            budget += d + u * rd
+            if budget > window_sec:
+                break
+            k += 1
+        return max(1, k), 0.0
     if rule.rate_per_sec:
         budget = rule.rate_per_sec * window_sec + tokens_left
         cap = math.floor(budget)

@@ -57,7 +57,8 @@ class _Site(BaseHTTPRequestHandler):
         if path == "/robots.txt":
             if getattr(srv, "serve_robots", False):
                 self._page(
-                    b"# fixture robots\nUser-agent: *\nDisallow: /p/4\n"
+                    getattr(srv, "robots_body", None)
+                    or b"# fixture robots\nUser-agent: *\nDisallow: /p/4\n"
                     b"User-agent: badbot\nDisallow: /\n",
                     ctype="text/plain",
                 )
@@ -263,3 +264,24 @@ def test_live_robots_fetch_and_enforce(spark, site, tmp_path):
     res_ids = {r["image_id"] for r in eng.store.read("results").collect()}
     assert f"{base}/img/1.png" not in res_ids
     assert f"{base}/img/0.png" in res_ids
+
+
+def test_live_robots_blocks_image_fetches(spark, site, tmp_path):
+    """Image payload URLs are HTTP requests like any other: a robots rule
+    disallowing an image path blocks the image GET even though its parent
+    page is allowed and parsed."""
+    site.serve_robots = True
+    site.robots_body = b"User-agent: *\nDisallow: /img/2\n"
+    base = f"http://127.0.0.1:{site.server_address[1]}"
+    run = str(tmp_path / "run_robots_img")
+    cfg = CrawlConfig(fetch_mode="live", robots=True, retry_max=2, max_waves=12,
+                      ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    eng.seed([f"{base}/p/0"])
+    eng.run()
+    urls = {r["url"] for r in eng.store.fetch_log().select("url").collect()}
+    assert f"{base}/p/5" in urls  # the referencing page itself is allowed
+    res_ids = {r["image_id"] for r in eng.store.read("results").collect()}
+    assert f"{base}/img/0.png" in res_ids and f"{base}/img/1.png" in res_ids
+    assert f"{base}/img/2.png" not in res_ids
+    assert "/img/2.png" not in site.seen_headers  # never hit the wire

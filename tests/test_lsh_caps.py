@@ -3,9 +3,12 @@
 Every LSH candidate generator (minhash bands, simhash bands, embedding
 hyperplane buckets) must (a) exclude the degenerate keys that concentrate
 pathological mass into one bucket by construction (all-null minhash
-signatures of <n-token docs, simhash 0 of empty docs), and (b) drop buckets
-whose membership exceeds the cap via a broadcast anti-join, so a corpus with
-millions of empty/boilerplate rows can never make the self-join quadratic.
+signatures of <n-token docs, simhash 0 of empty docs), and (b) bound every
+bucket's candidate cost: buckets over the cap degrade from the all-pairs
+self-join to LINEAR star candidates against the bucket-min representative
+(dedup._split_buckets) — so a corpus with millions of boilerplate rows can
+never make the self-join quadratic, yet a mega near-dup group still reaches
+the verify stage and clusters, instead of silently producing zero pairs.
 These tests build exactly that corpus shape at sandbox scale.
 """
 
@@ -54,32 +57,49 @@ def _degenerate_corpus(spark, n_empty=4000, n_short=4000, n_boiler=2000, n_real=
     )
 
 
-def test_minhash_degenerate_buckets_capped(spark):
+BOILER_LO, BOILER_HI, REAL_LO = 8_000, 10_000, 10_000
+
+
+def test_minhash_degenerate_buckets_star_degrade(spark):
     d = _degenerate_corpus(spark)
     pairs = lsh_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3).collect()
+    # empty/short docs (null signature) are excluded outright
     ids = {p for r in pairs for p in (r["id_a"], r["id_b"])}
-    # no pair may involve an empty/short doc (null signature → excluded) or
-    # the boilerplate mass (one bucket of 2000 ≫ cap → dropped whole)
-    assert all(p >= 10_000 for p in ids), f"degenerate ids in pairs: {sorted(ids)[:5]}"
-    # the genuine near-dups (under-cap buckets) are still found
-    assert len(pairs) >= 15
+    assert all(p >= BOILER_LO for p in ids), f"null-sig ids in pairs: {sorted(ids)[:5]}"
+    # the 2000-doc boilerplate mass is LINEAR star candidates, not quadratic
+    # all-pairs and not zero: exactly (min_id, other) for every member
+    boiler = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < BOILER_HI}
+    assert boiler == {(BOILER_LO, x) for x in range(BOILER_LO + 1, BOILER_HI)}
+    # the genuine near-dups (under-cap buckets) still all-pair
+    real = [r for r in pairs if r["id_a"] >= REAL_LO]
+    assert len(real) >= 15
+    # verify stage: stars are verbatim dups → Jaccard 1 survives
     verified = minhash_near_dups(d, threshold=0.5).collect()
-    assert all(r["id_a"] >= 10_000 and r["id_b"] >= 10_000 for r in verified)
-    assert len(verified) >= 15
+    vboiler = {(r["id_a"], r["id_b"]) for r in verified if r["id_b"] < BOILER_HI}
+    assert vboiler == boiler
+    assert all(r["jaccard"] == 1.0 for r in verified if r["id_b"] < BOILER_HI)
+    assert len([r for r in verified if r["id_a"] >= REAL_LO]) >= 15
 
 
-def test_simhash_degenerate_buckets_capped(spark):
+def test_simhash_degenerate_buckets_star_degrade(spark):
     d = _degenerate_corpus(spark)
     pairs = simhash_near_dups(d, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
     ids = {p for r in pairs for p in (r["id_a"], r["id_b"])}
-    # empty docs (simhash 0) excluded; boilerplate mass (2000 identical
-    # simhashes → one over-cap bucket per band) dropped whole
-    assert all(p >= 10_000 for p in ids), f"degenerate ids in pairs: {sorted(ids)[:5]}"
-    assert len(pairs) >= 15  # near-identical real docs collide within hamming<=3
+    # empty docs (simhash 0) excluded outright
+    assert all(p >= 4_000 for p in ids), f"simhash-0 ids in pairs: {sorted(ids)[:5]}"
+    # the two identical-text masses ("hi there" x4000, boilerplate x2000)
+    # appear as hamming-0 stars against each mass's min id — linear
+    short_stars = {(a, b) for a, b in got if b < BOILER_LO}
+    assert short_stars == {(4_000, x) for x in range(4_001, BOILER_LO)}
+    boiler_stars = {(a, b) for a, b in got if 4_000 <= a < BOILER_HI and b < BOILER_HI and b >= BOILER_LO}
+    assert boiler_stars == {(BOILER_LO, x) for x in range(BOILER_LO + 1, BOILER_HI)}
+    # the real near-identical docs still collide within hamming<=3
+    assert len([1 for a, b in got if a >= REAL_LO]) >= 15
 
 
 def test_minhash_small_dup_groups_survive_cap(spark):
-    """A duplicate group smaller than the cap is NOT dropped."""
+    """A duplicate group smaller than the cap keeps the full all-pairs set."""
     docs = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(10)]
     d = spark.createDataFrame(docs, "doc_id long, text string")
     pairs = lsh_candidate_pairs(d).collect()
@@ -87,9 +107,11 @@ def test_minhash_small_dup_groups_survive_cap(spark):
     assert LSH_BUCKET_CAP >= 10
 
 
-def test_embedding_bucket_cap_drops_degenerate(spark):
-    """500 identical embeddings (one bucket in EVERY table) vanish under a
-    cap of 64; a small genuine near-dup pair in a healthy bucket survives."""
+def test_embedding_bucket_cap_star_degrade(spark):
+    """500 identical embeddings (one bucket in EVERY table) under a cap of
+    64 degrade to 499 star pairs against vec 0 — never the ~125k all-pairs
+    explosion, never zero; a small genuine near-dup pair in a healthy
+    bucket is untouched."""
     rows = [(i, [1.0] + [0.0] * 7) for i in range(500)]
     rows += [(1000, [0.1, 0.9, 0.2, 0.0, 0.0, 0.0, 0.0, 0.0]),
              (1001, [0.1, 0.88, 0.22, 0.0, 0.0, 0.0, 0.0, 0.0])]
@@ -97,9 +119,11 @@ def test_embedding_bucket_cap_drops_degenerate(spark):
     out = embedding_near_dups(
         e, dim=8, threshold=0.9, num_planes=2, num_tables=2, bucket_cap=64
     ).collect()
-    ids = {p for r in out for p in (r["id_a"], r["id_b"])}
-    assert ids <= {1000, 1001}
-    assert (1000, 1001) in {(r["id_a"], r["id_b"]) for r in out}
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    mass = {p for p in got if p[1] < 1000}
+    assert mass == {(0, i) for i in range(1, 500)}  # linear stars, sim = 1.0
+    assert (1000, 1001) in got
+    assert got == mass | {(1000, 1001)}
 
 
 def test_embedding_lsh_recall_floor(spark):
@@ -135,7 +159,8 @@ def test_phash_near_dups_images(spark):
     """Image-payload near-dup: banded hamming join over the phash column
     (input_hint schema). Perturbed copies of an image land within the
     hamming radius; blank images (phash 0) are excluded; a degenerate mass
-    of identical hashes is capped away; unrelated hashes don't pair."""
+    of identical hashes degrades to linear stars against its min id;
+    unrelated hashes don't pair."""
     import numpy as np
 
     from goribot_spark.functions.dedup import phash_near_dups
@@ -151,10 +176,14 @@ def test_phash_near_dups_images(spark):
 
     rows = [("a0", h0), ("a1", h1)]
     rows += [(f"blank{i}", 0) for i in range(200)]          # degenerate zeros
-    rows += [(f"mass{i}", 0x1234_5678_9ABC_DEF0) for i in range(200)]  # over-cap
+    rows += [(f"mass{i:03d}", 0x1234_5678_9ABC_DEF0) for i in range(200)]  # over-cap
     rows += [(f"far{i}", (0x0F0F_0F0F << i) & 0x7FFF_FFFF_FFFF_FFFF) for i in range(8)]
     df = spark.createDataFrame(rows, "image_id string, phash long")
     pairs = phash_near_dups(df, max_hamming=3, bucket_cap=64).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("a0", "a1") in got
-    assert all(not a.startswith(("blank", "mass")) for p in got for a in p)
+    # blanks excluded entirely; the identical-hash mass is exactly the
+    # linear star set (min image_id -> member), hamming 0
+    assert all(not a.startswith("blank") for p in got for a in p)
+    mass = {p for p in got if p[0].startswith("mass") or p[1].startswith("mass")}
+    assert mass == {("mass000", f"mass{i:03d}") for i in range(1, 200)}

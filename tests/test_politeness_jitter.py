@@ -1,9 +1,11 @@
-"""T2 RandomDelay — deterministic per-wave jitter in the budget domain.
+"""T2 RandomDelay — deterministic per-slot jitter in the budget domain.
 
 The reference sleeps an extra uniform(0, RandomDelay) per request on top of
 the fixed Delay (limiter.go:83-86); the batch translation draws one
-deterministic hash-jitter u ∈ [0,1) per (rule, wave) and caps the wave at
-floor(window / (delay + u·random_delay)). Pure driver math — no Spark.
+deterministic hash-jitter u_i ∈ [0,1) per (rule, wave, slot) and caps the
+wave at the number of spacings delay + u_i·random_delay that fit in the
+window — concentrated at ≈ window/(delay+rd/2), never heavy-tailed. Pure
+driver math — no Spark.
 """
 
 from __future__ import annotations
@@ -33,10 +35,22 @@ def test_random_delay_budget_distribution():
 def test_random_delay_only_no_fixed_delay():
     r = LimitRule("*", random_delay_sec=1.0, rule_id=3)
     caps = [rule_wave_cap(r, 10.0, 0.0, 1, wave=w)[0] for w in range(100)]
-    # uniform(0,1) spacing → cap >= floor(10/1) = 10 always; None only if
-    # the draw is ~0 (no fixed delay, no jitter → uncapped instant)
-    assert all(c is None or c >= 10 for c in caps)
-    assert sum(1 for c in caps if c is not None and c <= 40) > 50
+    # per-slot uniform(0,1) spacings: cap is always bounded — at least 10
+    # (every spacing < 1) and concentrated near 2·window/rd = 20; the
+    # old single-draw model exploded to ~10^6 (or uncapped) on a tiny draw.
+    assert all(c is not None and 10 <= c <= 40 for c in caps)
+    mean = sum(caps) / len(caps)
+    assert 17 < mean < 24
+
+
+def test_random_delay_shadows_rate_like_reference():
+    """limiter.go:77-90: `Delay > 0 || RandomDelay > 0` takes the delay
+    branch, else-if Rate — a rule with both random_delay and rate uses the
+    jitter cap and never touches the token bucket."""
+    r = LimitRule("*", random_delay_sec=1.0, rate_per_sec=100.0, rule_id=5)
+    cap, tok = rule_wave_cap(r, 10.0, 0.5, 1, wave=1)
+    assert cap is not None and 10 <= cap <= 40  # jitter cap, not 100·10
+    assert tok == 0.0  # token carry-over is reset, not accumulated
 
 
 def test_delay_precedence_unchanged():

@@ -50,6 +50,21 @@ def test_cap_per_source(spark):
     assert got == expect
 
 
+def test_cap_per_source_null_sources_capped(spark):
+    """NULL-source rows form one capped group: the equi-join split would
+    otherwise route every null row to the untouched light branch (NULL
+    never equi-matches the over-cap list) and the cap guarantee dies for
+    missing-source docs."""
+    rows = [(i, None, i) for i in range(500)] + [(1000 + j, "a", j) for j in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    capped = cap_per_source(d, "source", cap=40).collect()
+    nulls = [r for r in capped if r["source"] is None]
+    assert len(nulls) == 40
+    assert {r["doc_id"] for r in nulls} == set(range(40))  # deterministic rank
+    assert len([r for r in capped if r["source"] == "a"]) == 3
+    assert set(capped[0].asDict()) == {"doc_id", "source", "n_chars"}  # no _src_key
+
+
 def test_cap_per_source_two_level_skew(spark):
     """One source at 100x the others: the 2-level plan must (a) return
     exactly the single-window answer, and (b) never run a per-source window
