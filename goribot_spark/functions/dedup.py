@@ -51,6 +51,13 @@ def _split_buckets(
     id_a < id_b (the rep is the min), or None when cap is None."""
     if cap is None:
         return banded, None
+    # The banded frame is consumed by FIVE subtrees below (count, anti,
+    # semi, rep-agg via semi, and both sides of the caller's self-join);
+    # un-materialized, the upstream pipeline (signature build / hyperplane
+    # eval / render+phash) would re-execute per reference — measured 3x the
+    # whole operator at sf0.1. localCheckpoint truncates to one scan of the
+    # materialized (id, key) rows; blocks are GC-cleaned with the RDD.
+    banded = banded.localCheckpoint(eager=False)
     over = (
         banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
