@@ -312,12 +312,21 @@ class CrawlEngine:
         ``frame`` (host, url) not yet in the accumulated robots_live table
         (reference RobotsTxt extension fetches per-host robots lazily,
         extensions.go:131-151). One mapInPandas fetch over the handful of
-        first-seen hosts per wave; unreachable robots cache as allow-all so
-        no host is fetched twice. The increment is written under this
-        wave's snapshot (rolls back with an aborted wave, reloads on
-        resume)."""
+        first-seen hosts per wave. Durable outcomes (parsed rules; 4xx
+        allow-all) are APPENDED under this wave's snapshot — up to three
+        increments land per wave (seed hosts, candidate hosts, image hosts),
+        so overwrite would clobber earlier increments from the resumable
+        store. 5xx/transport outcomes are transient disallow-all rows (RFC
+        9309 "unreachable"): applied in-memory for the rest of this wave,
+        never persisted, and evicted at the next wave so the host's robots
+        is re-fetched."""
         from goribot_spark.operators.fetch import live_fetch_robots
 
+        if "_transient_wave" in self.robots.columns:
+            self.robots = self.robots.where(
+                F.col("_transient_wave").isNull()
+                | (F.col("_transient_wave") >= wave)
+            )
         need = (
             frame.select("host", "url")
             .groupBy("host")
@@ -329,15 +338,28 @@ class CrawlEngine:
                 need, self.cfg.fetch_timeout_sec, self.cfg.fetch_threads, self.cfg.ua
             )
             .select(
-                "host", "ua", "path_prefix", (F.col("allow") == "1").alias("allow")
+                "host",
+                "ua",
+                "path_prefix",
+                (F.col("allow") == "1").alias("allow"),
+                (F.col("transient") == "1").alias("_t"),
             )
             # eager: the fetch is side-effecting — run it exactly once
             .localCheckpoint(eager=True)
         )
         if rules.isEmpty():
             return
-        self.store.write("robots_live", wave, rules.coalesce(1))
-        self.robots = self.robots.unionByName(rules)
+        durable = rules.where(~F.col("_t")).drop("_t")
+        if not durable.isEmpty():
+            self.store.append("robots_live", wave, durable.coalesce(1))
+        transient = (
+            rules.where(F.col("_t"))
+            .drop("_t")
+            .withColumn("_transient_wave", F.lit(wave).cast("int"))
+        )
+        self.robots = self.robots.unionByName(
+            durable, allowMissingColumns=True
+        ).unionByName(transient, allowMissingColumns=True)
 
     def _seed_commit(
         self, df: DataFrame, n_urls: int, state: dict, seq_base: int
@@ -662,12 +684,21 @@ class CrawlEngine:
                 img_urls = img_urls.withColumn("host", host_of(F.col("url")))
                 self._ensure_live_robots(img_urls, wave)
                 img_urls = apply_robots(img_urls, self.robots, cfg.ua).drop("host")
-            img_bytes = live_fetch(
-                img_urls,
-                cfg.fetch_timeout_sec,
-                cfg.fetch_threads,
-                cfg.ua,
-            ).select(F.col("url").alias("image_id"), F.col("body").alias("bytes"))
+            # Eager checkpoint: same exactly-once pin as the page-wave fetch
+            # above — the image GETs are side-effecting, and relying on
+            # `results` being consumed by a single write action would let
+            # any future second action (metrics, an on_item hook) silently
+            # re-issue every image request.
+            img_bytes = (
+                live_fetch(
+                    img_urls,
+                    cfg.fetch_timeout_sec,
+                    cfg.fetch_threads,
+                    cfg.ua,
+                )
+                .select(F.col("url").alias("image_id"), F.col("body").alias("bytes"))
+                .localCheckpoint(eager=True)
+            )
             results = (
                 refs.join(img_bytes, "image_id")
                 .transform(with_decoded)

@@ -164,6 +164,9 @@ ROBOTS_FETCH_SCHEMA = StructType(
         StructField("ua", StringType(), False),
         StructField("path_prefix", StringType(), False),
         StructField("allow", StringType(), False),  # cast to bool by caller
+        # "1" = do-not-cache marker (5xx / transport failure → RFC 9309
+        # disallow-all for now, retried on a later wave); "0" = durable rule
+        StructField("transient", StringType(), False),
     ]
 )
 
@@ -175,19 +178,23 @@ def live_fetch_robots(
     default_ua: str = "goribot-spark",
 ) -> DataFrame:
     """(host, url) frame → parsed robots rules (host, ua, path_prefix,
-    allow). ``url`` is any URL of the host (the robots URL resolves as
-    urljoin(url, '/robots.txt'), preserving scheme/port — the ``host``
-    column itself is portless). Unreachable/non-200 robots yield a single
-    allow-all marker row, so the host is cached as fetched and never
-    re-requested (the reference treats a missing robots.txt as allow-all).
-    mapInPandas — fetch + parse stay executor-side."""
+    allow, transient). ``url`` is any URL of the host (the robots URL
+    resolves as urljoin(url, '/robots.txt'), preserving scheme/port — the
+    ``host`` column itself is portless). Outcome → caching per RFC 9309:
+    2xx parses; 4xx (robots absent) yields a durable allow-all marker row so
+    the host is never re-requested (the reference treats a missing
+    robots.txt as allow-all); 5xx and transport failures (unreachable) yield
+    a disallow-all row marked ``transient`` — the caller must NOT persist
+    it, so a robots outage neither whitelists the host for the rest of the
+    run nor blocks it forever (re-fetched next wave). mapInPandas — fetch +
+    parse stay executor-side."""
     from urllib.parse import urljoin
 
     def batches(it):
         from concurrent.futures import ThreadPoolExecutor
 
         for pdf in it:
-            out = {"host": [], "ua": [], "path_prefix": [], "allow": []}
+            out = {"host": [], "ua": [], "path_prefix": [], "allow": [], "transient": []}
             if len(pdf):
                 urls = [urljoin(u, "/robots.txt") for u in pdf["url"]]
                 with ThreadPoolExecutor(max_workers=min(threads, len(pdf))) as pool:
@@ -199,18 +206,27 @@ def live_fetch_robots(
                     )
                 for host, (status, _ct, body, _sc) in zip(pdf["host"], results):
                     rules = []
-                    if status == 200 and body is not None:
+                    transient = False
+                    if status is not None and 200 <= status < 300 and body is not None:
                         try:
                             rules = parse_robots_txt(body.decode("utf-8", "replace"))
                         except Exception:
                             rules = []
-                    if not rules:
-                        rules = [("*", "/", True)]  # allow-all marker row
+                        if not rules:
+                            rules = [("*", "/", True)]  # empty robots = allow all
+                    elif status is not None and status < 500:
+                        rules = [("*", "/", True)]  # 4xx: no robots → allow-all, cached
+                    else:
+                        # 5xx / transport error: RFC 9309 "unreachable" →
+                        # disallow-all, but do NOT cache — retried next wave
+                        rules = [("*", "/", False)]
+                        transient = True
                     for ua, prefix, allow in rules:
                         out["host"].append(host)
                         out["ua"].append(ua)
                         out["path_prefix"].append(prefix)
                         out["allow"].append("1" if allow else "0")
+                        out["transient"].append("1" if transient else "0")
             yield pd.DataFrame(out)
 
     return hosts.mapInPandas(batches, ROBOTS_FETCH_SCHEMA)

@@ -106,6 +106,14 @@ class CrawlStore:
     def write(self, table: str, wave: int, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._wave_dir(table, wave))
 
+    def append(self, table: str, wave: int, df: DataFrame) -> None:
+        """Additive write within a wave. A wave can produce several
+        increments of the same table (robots_live gets up to three: seed
+        hosts, candidate hosts, image hosts) — ``write``'s overwrite would
+        clobber the earlier increments, losing them from the resumable
+        snapshot even though the in-memory union hides it during the run."""
+        df.write.mode("append").parquet(self._wave_dir(table, wave))
+
     def read(self, table: str, upto_wave: int | None = None) -> DataFrame:
         """Union of committed wave partitions for ``table`` (snapshot read)."""
         upto = self.last_wave() if upto_wave is None else upto_wave

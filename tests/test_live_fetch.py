@@ -54,8 +54,18 @@ class _Site(BaseHTTPRequestHandler):
             path = "/" + path.split("/", 3)[3]
         with srv.lock:
             srv.seen_headers.setdefault(path, []).append(dict(self.headers))
-        if path == "/robots.txt":
-            if getattr(srv, "serve_robots", False):
+        extra = getattr(srv, "extra_pages", {}).get(path)
+        if extra is not None:
+            body, ctype = extra
+            self._page(body, ctype=ctype)
+        elif path == "/robots.txt":
+            with srv.lock:
+                seq = getattr(srv, "robots_status_seq", [])
+                forced = seq.pop(0) if seq else None
+            if forced is not None:
+                self.send_response(forced)
+                self.end_headers()
+            elif getattr(srv, "serve_robots", False):
                 self._page(
                     getattr(srv, "robots_body", None)
                     or b"# fixture robots\nUser-agent: *\nDisallow: /p/4\n"
@@ -114,11 +124,16 @@ class _Site(BaseHTTPRequestHandler):
 
 @pytest.fixture()
 def site():
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Site)
+    # Bind all interfaces: 127.0.0.2 / 127.0.0.3 are distinct *hosts* to the
+    # engine (loopback aliases) but the same physical fixture server — used
+    # by the multi-host robots-increment test.
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), _Site)
     srv.lock = threading.Lock()
     srv.seen_headers = {}
     srv.proxied_paths = []
     srv.flaky_hits = 0
+    srv.extra_pages = {}
+    srv.robots_status_seq = []
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -174,6 +189,13 @@ def test_live_crawl_end_to_end(spark, site, tmp_path):
         assert np.array_equal(px, _pixels(i))
         assert r["phash"] == phash64(_pixels(i))
         assert (r["w"], r["h"]) == (32, 24)
+
+    # Exactly-once at the wire: every page and image URL was requested once
+    # (the flaky page's 3 hits are its retries) — pins the eager checkpoint
+    # on both side-effecting live_fetch stages.
+    hits = {p: len(hs) for p, hs in site.seen_headers.items()}
+    assert all(hits[f"/img/{i}.png"] == 1 for i in range(3))
+    assert all(hits[f"/p/{k}"] == 1 for k in (0, 1, 2, 3, 5))
 
 
 def test_live_fetch_error_routing(spark, site, tmp_path):
@@ -264,6 +286,67 @@ def test_live_robots_fetch_and_enforce(spark, site, tmp_path):
     res_ids = {r["image_id"] for r in eng.store.read("results").collect()}
     assert f"{base}/img/1.png" not in res_ids
     assert f"{base}/img/0.png" in res_ids
+
+
+def test_live_robots_increments_accumulate(spark, site, tmp_path):
+    """Regression (r3 ADVICE): several robots increments within ONE wave
+    must all survive in the robots_live store. /p/multi makes the same wave
+    fetch robots for a candidate-link host (127.0.0.2) AND an image host
+    (127.0.0.3); the old per-wave overwrite clobbered the first increment,
+    so a resumed session would re-fetch that host's robots."""
+    site.serve_robots = True
+    port = site.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    site.extra_pages["/p/multi"] = (
+        _html(
+            "multi",
+            [f"http://127.0.0.2:{port}/p/5"],
+            [(f"http://127.0.0.3:{port}/img/0.png", "x-host image")],
+        ),
+        "text/html; charset=utf-8",
+    )
+    run = str(tmp_path / "run_rob_inc")
+    cfg = CrawlConfig(fetch_mode="live", robots=True, max_waves=8, ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    eng.seed([f"{base}/p/multi"])
+    eng.run()
+    hosts = {r["host"] for r in eng.store.read("robots_live").collect()}
+    assert {"127.0.0.1", "127.0.0.2", "127.0.0.3"} <= hosts
+    # Resume contract: a fresh session on the same run_dir sees the cached
+    # rules for ALL three hosts and fetches robots.txt for none of them.
+    n_before = len(site.seen_headers["/robots.txt"])
+    assert n_before == 3  # one per host
+    eng2 = CrawlEngine(spark, None, run, cfg)
+    eng2.seed([f"http://127.0.0.2:{port}/p/0", f"http://127.0.0.3:{port}/p/0"])
+    eng2.run()
+    assert len(site.seen_headers["/robots.txt"]) == n_before
+
+
+def test_live_robots_5xx_transient_disallow(spark, site, tmp_path):
+    """RFC 9309 unreachable-robots semantics (r3 ADVICE): a 5xx robots.txt
+    means disallow-all for the wave — but is NOT cached, so the host is
+    re-fetched on a later wave instead of being whitelisted (old behavior
+    cached ANY failure as a permanent allow-all marker)."""
+    site.serve_robots = True
+    site.robots_status_seq.append(503)  # first robots request: server error
+    base = f"http://127.0.0.1:{site.server_address[1]}"
+    run = str(tmp_path / "run_rob_5xx")
+    cfg = CrawlConfig(fetch_mode="live", robots=True, max_waves=6, ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    n0 = eng.seed([f"{base}/p/5"])
+    assert n0 == 0  # outage → disallow-all: the seed is not admitted
+    eng.run()
+    assert eng.store.fetch_log().count() == 0  # nothing hit the wire
+    # ...and nothing was persisted: the outage is not a durable allow-all
+    assert eng.store.read("robots_live").where("host = '127.0.0.1'").count() == 0
+    # Next wave: robots recovered → re-fetched, page admitted and crawled.
+    n1 = eng.seed([f"{base}/p/5"])
+    assert n1 == 1
+    eng.run()
+    assert {r["url"] for r in eng.store.fetch_log().collect()} == {f"{base}/p/5"}
+    assert len(site.seen_headers["/robots.txt"]) == 2
+    # the recovered rules ARE cached now
+    assert eng.store.read("robots_live").where("host = '127.0.0.1'").count() > 0
 
 
 def test_live_robots_blocks_image_fetches(spark, site, tmp_path):
