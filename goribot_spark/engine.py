@@ -92,7 +92,14 @@ class CrawlConfig:
     fetch_timeout_sec: float = 5.0
     fetch_threads: int = 8
     use_bloom: bool = False  # approximate pre-filter over seen (operators/bloom.py)
-    bloom_bits: int = 1 << 23
+    bloom_bits: int = 1 << 23  # TOTAL bits (split across shards when sharded)
+    # Bucket-sharded filter (the 10^10-frontier path): per-shard bitmaps
+    # built partition-locally into the bloom_shards table and probed via a
+    # shard-cogrouped Arrow UDF — no driver-side bitmap collect/OR and no
+    # monolithic broadcast (a 10^10-key filter is ~12 GiB; neither fits the
+    # driver). Output stays byte-identical to exact dedup either way.
+    bloom_sharded: bool = False
+    bloom_shards: int = 16
     dfs: bool = False  # SetDepthFirst — extensions.go:262-269
     robots: bool = False  # RobotsTxt — extensions.go:131-151
     ua: str = "goribot-spark"
@@ -177,7 +184,7 @@ class CrawlEngine:
             self.robots = None
         self._bloom = (
             self.store.load_bloom_union()
-            if (self.cfg.dedup and self.cfg.use_bloom)
+            if (self.cfg.dedup and self.cfg.use_bloom and not self.cfg.bloom_sharded)
             else None
         )
         # Incremental crawl-state caches: pending frontier and seen set as
@@ -196,13 +203,38 @@ class CrawlEngine:
         return self._seen
 
     def _dedup(self, df):
+        shards = (
+            self.store.read("bloom_shards")
+            if (self.cfg.dedup and self.cfg.use_bloom and self.cfg.bloom_sharded)
+            else None
+        )
         return dedup_against_seen(
-            df, self._seen_frame(), self.spark, self._bloom, self.cfg.bloom_bits
+            df,
+            self._seen_frame(),
+            self.spark,
+            self._bloom,
+            self.cfg.bloom_bits,
+            bloom_shards=shards,
+            n_shards=self.cfg.bloom_shards,
         )
 
     def _bloom_commit(self, wave: int, admitted) -> None:
-        """Persist this wave's Bloom increment and fold it into memory."""
+        """Persist this wave's Bloom increment and fold it into memory.
+        Sharded mode writes the (shard, bits) increments as a table next to
+        the wave snapshot — built and written executor-side, the driver
+        never holds a bitmap (the single-bitmap path's collect+OR is the
+        one driver-side bottleneck at 10^10 seen keys)."""
         if not (self.cfg.dedup and self.cfg.use_bloom):
+            return
+        if self.cfg.bloom_sharded:
+            from goribot_spark.operators.bloom import build_bloom_shards
+
+            inc = build_bloom_shards(
+                admitted.select("url_hash"),
+                self.cfg.bloom_shards,
+                self.cfg.bloom_bits // self.cfg.bloom_shards,
+            )
+            self.store.write("bloom_shards", wave, inc)
             return
         import numpy as np
 
@@ -994,8 +1026,10 @@ class CrawlEngine:
         # doesn't re-fetch robots.txt for those hosts.
         if self.cfg.robots and self.cfg.fetch_mode == "live":
             self.robots = self.store.read("robots_live")
-        if self.cfg.dedup and self.cfg.use_bloom:
+        if self.cfg.dedup and self.cfg.use_bloom and not self.cfg.bloom_sharded:
             self._bloom = self.store.load_bloom_union()
+        # sharded mode needs no reload: _dedup reads the bloom_shards table
+        # fresh (committed waves only) on every call.
 
     def run(
         self,

@@ -159,6 +159,8 @@ def dedup_against_seen(
     spark=None,
     bloom=None,
     bloom_bits: int | None = None,
+    bloom_shards: DataFrame | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """F6/F7: global seen-set anti-join + intra-wave first-wins self-dedup.
 
@@ -167,11 +169,19 @@ def dedup_against_seen(
     are appended to ``seen`` by the caller, making the table the shared
     atomic set that Redis SAdd was (manager.go:182-193).
 
-    With ``bloom`` set, the approximate pre-filter prunes definitely-new rows
+    With ``bloom`` set (a single bitmap) or ``bloom_shards`` set (the
+    sharded (shard, bits) table — the 10^10 path with no driver-side union
+    or broadcast), the approximate pre-filter prunes definitely-new rows
     from the anti-join (operators/bloom.py); output is identical either way.
     """
     w = Window.partitionBy("url_hash").orderBy("seq")
     cand = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    if bloom_shards is not None:
+        from goribot_spark.operators.bloom import dedup_with_bloom_shards
+
+        return dedup_with_bloom_shards(
+            cand, seen, bloom_shards, n_shards, bloom_bits // n_shards
+        )
     if bloom is not None:
         from goribot_spark.operators.bloom import dedup_with_bloom
 

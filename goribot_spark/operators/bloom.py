@@ -90,6 +90,120 @@ def maybe_seen_udf(spark, bloom: np.ndarray, num_bits: int = DEFAULT_NUM_BITS):
     return _udf
 
 
+# -- bucket-sharded variant (the 10^10 path) --------------------------------
+#
+# A single filter sized for 10^10 seen keys (~12 GiB at 1% fpr) can neither
+# be collect()ed to the driver nor broadcast. The sharded path removes both
+# driver-side steps:
+#   * build: seen is hash-repartitioned by shard = pmod(url_hash, n_shards);
+#     each shard's bitmap is built inside its partition and emitted as ONE
+#     (shard, bits) row into a parquet table next to the seen waves — the
+#     driver never touches a bitmap;
+#   * probe: candidates are cogrouped with the shard table on the same
+#     shard key, so each task materializes ONLY its shard's filter (OR of
+#     that shard's per-wave increments) — no monolithic broadcast, total
+#     filter memory is spread 1/n_shards per task;
+#   * maybe-seen survivors still go through the exact anti-join, so output
+#     is byte-identical to the exact path (same contract as the single-
+#     bitmap variant).
+# The reference's distributed dedup is a remote shared set (manager.go:
+# 182-193); this is its filter-accelerated Spark shape at frontier scale.
+
+DEFAULT_NUM_SHARDS = 16
+
+
+def shard_of(col, n_shards: int):
+    """Shard key — F.pmod is non-negative for negative hashes, and the
+    probe side MUST use the same expression (JVM-evaluated both times)."""
+    return F.pmod(col, F.lit(n_shards)).cast("int")
+
+
+def build_bloom_shards(
+    seen: DataFrame, n_shards: int = DEFAULT_NUM_SHARDS, shard_bits: int = DEFAULT_NUM_BITS // DEFAULT_NUM_SHARDS
+) -> DataFrame:
+    """Partition-local sharded build over seen.url_hash → (shard, bits)
+    DataFrame, one row per non-empty shard. The repartition puts each
+    shard wholly inside one partition, so no reduce step (and no driver
+    union) is needed — the mapInPandas accumulates across its partition's
+    Arrow batches and emits each shard's finished bitmap once."""
+    if shard_bits % 8:
+        raise ValueError("shard_bits must be a multiple of 8")
+
+    def part(batches):
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+            sh = pdf["_shard"].to_numpy()
+            for s in np.unique(sh):
+                bits = acc.setdefault(int(s), np.zeros(shard_bits // 8, dtype=np.uint8))
+                hsel = hs[sh == s]
+                for idx in _indexes(hsel, shard_bits):
+                    np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "shard": list(acc.keys()),
+                    "bits": [a.tobytes() for a in acc.values()],
+                }
+            )
+
+    return (
+        seen.select("url_hash", shard_of(F.col("url_hash"), n_shards).alias("_shard"))
+        .repartition(n_shards, "_shard")
+        .mapInPandas(part, "shard int, bits binary")
+    )
+
+
+def dedup_with_bloom_shards(
+    cand: DataFrame,
+    seen: DataFrame,
+    shards: DataFrame,
+    n_shards: int = DEFAULT_NUM_SHARDS,
+    shard_bits: int = DEFAULT_NUM_BITS // DEFAULT_NUM_SHARDS,
+) -> DataFrame:
+    """Sharded Bloom-pruned exact dedup — output identical to a plain
+    left_anti against seen. ``shards`` is the (shard, bits) table (several
+    rows per shard across wave increments are OR-ed inside the probe task).
+    A shard absent from the table holds no seen keys, so its candidates are
+    definitely new."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    c = cand.withColumn("_shard", shard_of(F.col("url_hash"), n_shards))
+    out_schema = StructType(
+        list(c.schema.fields) + [StructField("_maybe", BooleanType(), False)]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return left.assign(_maybe=np.zeros(0, dtype=bool))
+        hs = left["url_hash"].to_numpy(dtype=np.int64)
+        if not len(right):
+            return left.assign(_maybe=np.zeros(len(hs), dtype=bool))
+        bits = np.zeros(shard_bits // 8, dtype=np.uint8)
+        for b in right["bits"]:
+            np.bitwise_or(bits, np.frombuffer(b, dtype=np.uint8), out=bits)
+        maybe = np.ones(len(hs), dtype=bool)
+        for idx in _indexes(hs, shard_bits):
+            maybe &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return left.assign(_maybe=maybe)
+
+    flagged = (
+        c.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+        .drop("_shard")
+    )
+    fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
+    suspect = (
+        flagged.where(F.col("_maybe"))
+        .drop("_maybe")
+        .join(seen.select("url_hash"), on="url_hash", how="left_anti")
+    )
+    return fresh.unionByName(suspect)
+
+
 def dedup_with_bloom(
     cand: DataFrame,
     seen: DataFrame,

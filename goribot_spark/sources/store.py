@@ -36,6 +36,7 @@ TABLES = (
     "metrics",
     "host_state",
     "robots_live",
+    "bloom_shards",
 )
 
 _SCHEMAS = {
@@ -45,6 +46,7 @@ _SCHEMAS = {
     "errors": schemas.ERRORS,
     "metrics": schemas.METRICS,
     "robots_live": schemas.ROBOTS_RULES,
+    "bloom_shards": schemas.BLOOM_SHARDS,
 }
 
 
