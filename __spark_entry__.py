@@ -44,9 +44,9 @@ from goribot_spark.functions.text import (
     fingerprint,
     lang_id,
     quality_score,
+    shingles_from_tokens,
     token_count,
     tokens,
-    word_shingles,
 )
 
 
@@ -225,15 +225,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard over prefix-fingerprint candidate pairs, with
     overfull buckets excluded (see FP8_BUCKET_CAP)."""
     d = _t(spark, sf_dir, "documents")
-    fp8 = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
     # repartition: the shingle build is the scan-side cost; one input file
     # would otherwise pin it to a single task (see minhash_signature).
-    sh = d.repartition(
+    # Token array bound in its own projection before the shingle lambda
+    # (shingles_from_tokens: inline tokens() re-splits per shingle).
+    toked = d.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).select(
+    ).select("doc_id", tokens(F.col("text")).alias("_toks"))
+    sh = toked.select(
         "doc_id",
-        fp8.alias("fp8"),
-        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), 1, 8))).alias("fp8"),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), 3)).alias("sh"),
     )
     over = (
         sh.groupBy("fp8")

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from goribot_spark.functions.text import fingerprint, md5_long, tokens, word_shingles
+from goribot_spark.functions.text import (
+    fingerprint,
+    md5_long,
+    shingles_from_tokens,
+    tokens,
+)
 
 # Band/bucket self-joins larger than this degrade to linear star candidates
 # in every LSH candidate generator (minhash bands, simhash bands, embedding
@@ -113,10 +118,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 1
     never enter the shuffle; otherwise all input columns are carried.
     """
     other_cols = [id_col] if id_col else [c for c in df.columns]
-    sh = df.select(
+    # Token array bound in its own projection BEFORE the shingle lambda —
+    # see shingles_from_tokens: an inline tokens() re-splits the whole text
+    # per shingle inside the interpreted higher-order function.
+    toked = df.select(*other_cols, tokens(F.col(text_col)).alias("_toks"))
+    sh = toked.select(
         *other_cols,
         F.explode_outer(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
         ).alias("_shingle"),
     )
     # Repartition the exploded rows BEFORE aggregating: partial aggregation
@@ -141,9 +150,10 @@ def shingle_sets(
     ``persist`` it in pipelines that use both) instead of re-tokenizing the
     corpus per stage: at 100 TB the shingle build is the dominant scan cost
     and must not run twice."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    toked = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
+        "id",
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("sh"),
     )
 
 

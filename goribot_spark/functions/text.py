@@ -102,9 +102,16 @@ def lang_id(col) -> Column:
     return best
 
 
-def word_shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles of the token array (empty when < n tokens)."""
-    toks = tokens(col)
+def shingles_from_tokens(toks, n: int = 3) -> Column:
+    """Word n-gram shingles from a BOUND token-array column (empty when
+    < n tokens). ``toks`` must be a real projected column, not an inline
+    ``tokens(text)`` expression: higher-order lambdas are interpreted
+    (CodegenFallback, no subexpression elimination), so any expression in
+    the lambda body re-evaluates PER ELEMENT — an inlined split() would
+    re-tokenize the whole document once per shingle, O(tokens²) per doc
+    (measured 5-8s for 5k sf0.1 docs vs <1s bound). Callers project the
+    token array in a separate select; Catalyst keeps that projection
+    because the non-cheap split is referenced more than once here."""
     k = F.size(toks)
     return F.when(k < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -112,6 +119,13 @@ def word_shingles(col, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles of raw text — CONVENIENCE form for small/test
+    frames. In hot paths use ``shingles_from_tokens`` over a separately
+    projected token column (see its docstring for the O(tokens²) hazard)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def md5_long(col) -> Column:
