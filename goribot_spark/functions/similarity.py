@@ -54,16 +54,19 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # Per-side norms computed once per row before the join (the aggregates
+    # are interpreted HOFs — per-pair norms would triple the hot-loop work;
+    # float-identical: each factor is the same expression either way).
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     e = emb.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ev")
-    )
+    ).withColumn("en", _norm(F.col("ev")))
     j = (
         e.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (_norm("qv") * _norm("ev")))
+        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -107,11 +110,15 @@ def with_lsh_bucket(
     for real vectors). ``table`` selects an independent hyperplane set
     (table t uses plane indices t*num_planes .. t*num_planes+num_planes-1)
     for the banded OR-construction below."""
-    v = as_double(F.col(vec_col))
+    # The cast vector is bound as a real column so the num_planes zip_with
+    # evaluations share ONE cast per row instead of re-casting inline
+    # (interpreted HOFs — no subexpression elimination).
+    bound = df.select(*df.columns, as_double(F.col(vec_col)).alias("_v"))
+    v = F.col("_v")
     bucket = F.lit(0)
     for p in range(num_planes):
         bucket = bucket * 2 + _hyperplane_sign(v, table * num_planes + p, dim)
-    return df.withColumn("bucket", bucket)
+    return bound.withColumn("bucket", bucket).drop("_v")
 
 
 def with_lsh_tables(
@@ -127,7 +134,10 @@ def with_lsh_tables(
     1-(1-p^r)^b (tunable via num_tables/num_planes) instead of the single-
     table p^r cliff. Same banded shape as minhash LSH; buckets stay
     deterministic md5 math so a SQL oracle reproduces them."""
-    v = as_double(F.col(vec_col))
+    # One bound cast per row shared by all num_tables*num_planes sign
+    # evaluations (see with_lsh_bucket).
+    bound = df.select(*df.columns, as_double(F.col(vec_col)).alias("_v"))
+    v = F.col("_v")
     entries = []
     for t in range(num_tables):
         b = F.lit(0)
@@ -136,7 +146,7 @@ def with_lsh_tables(
         entries.append(
             F.struct(F.lit(t).alias("table_id"), b.cast("long").alias("bucket"))
         )
-    return df.select(
+    return bound.select(
         *df.columns, F.explode(F.array(*entries)).alias("_tb")
     ).select(*df.columns, "_tb.table_id", "_tb.bucket")
 
@@ -182,17 +192,17 @@ def ann_topk_lsh(
             F.broadcast(
                 queries.select(
                     F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-                )
+                ).withColumn("qn", _norm(F.col("qv")))
             ),
             "query_id",
         )
         .join(
             emb.select(
                 F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ev")
-            ),
+            ).withColumn("en", _norm(F.col("ev"))),
             "neighbor_id",
         )
-        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (_norm("qv") * _norm("ev")))
+        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -273,18 +283,22 @@ def _assign_to_centroids(
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine (ties → lowest centroid_id):
     broadcast the (config-scale) centroid side, keep row 1 of a per-vector
-    window. Returns (id, v, centroid_id)."""
+    window. Returns (id, v, vn, centroid_id) — vn is the precomputed norm,
+    reusable by callers scoring against v."""
     from pyspark.sql import Window
 
-    e = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    e = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", _norm(F.col("v")))
+    cents = cents.withColumn("cn", _norm(F.col("cv")))
     j = e.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", _dot(F.col("v"), F.col("cv")) / (_norm("v") * _norm("cv"))
+        "csim", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
     )
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("id", "v", "centroid_id")
+        .select("id", "v", "vn", "centroid_id")
     )
 
 
@@ -310,24 +324,33 @@ def ann_topk_ivf(
 
     cents = ivf_centroids(emb, num_centroids, id_col, vec_col, lloyd_iters)
     lists = _assign_to_centroids(emb, cents.select("centroid_id", F.col("centroid").alias("cv")), id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("ev"), "centroid_id"
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("ev"),
+        F.col("vn").alias("en"),
+        "centroid_id",
     )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
     qp = q.crossJoin(
-        F.broadcast(cents.select("centroid_id", F.col("centroid").alias("cv")))
-    ).withColumn("csim", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv")))
+        F.broadcast(
+            cents.select("centroid_id", F.col("centroid").alias("cv")).withColumn(
+                "cn", _norm(F.col("cv"))
+            )
+        )
+    ).withColumn("csim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc()
     )
     probes = (
         qp.withColumn("_rn", F.row_number().over(wprobe))
         .where(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
     j = (
         lists.join(F.broadcast(probes), "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (_norm("qv") * _norm("ev")))
+        .withColumn("sim", _dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -375,11 +398,23 @@ def embedding_near_dups(
     if stars is not None:
         cand = cand.unionByName(stars)
     cand = cand.distinct()
-    vecs = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    # Norms precomputed once per id, not once per pair: the dot/norm
+    # aggregates are interpreted higher-order functions, and the verify
+    # evaluates O(candidates) of them — per-pair norms tripled that work
+    # (same float result: each factor is the identical expression).
+    vecs = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb")))
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
