@@ -691,7 +691,9 @@ class CrawlEngine:
             from goribot_spark.operators.fetch import live_fetch
 
             refs = emit_items.select(
-                F.col("url").alias("src_url"),
+                # relative image refs resolve against the post-redirect URL,
+                # same base as link discovery (goribot.go:163-166)
+                F.coalesce(F.col("final_url"), F.col("url")).alias("src_url"),
                 "handler_id",
                 F.explode(
                     F.arrays_zip(

@@ -68,8 +68,17 @@ def build_candidates(
         & (k != "body")
         & (k != "method"),
     )
+    # Resolution base: the post-redirect URL when the fetch leg recorded one
+    # (live mode's final_url) — goribot.go:163-166 resolves against
+    # resp.Request.URL, which net/http rewrites per redirect hop. The
+    # frontier/dedup/retry key stays the REQUESTED url (unchanged columns).
+    base_url = (
+        F.coalesce(F.col("final_url"), F.col("url"))
+        if "final_url" in fetched.columns
+        else F.col("url")
+    )
     exploded = fetched.select(
-        F.col("url").alias("parent_url"),
+        base_url.alias("parent_url"),
         F.col("depth").alias("parent_depth"),
         F.col("priority").alias("parent_priority"),
         F.col("seq").alias("parent_seq"),

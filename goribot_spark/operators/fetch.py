@@ -40,6 +40,11 @@ FETCH_FIELDS = [
     StructField("content_type", StringType(), True),
     StructField("body", BinaryType(), True),
     StructField("set_cookies", MapType(StringType(), StringType()), True),
+    # URL after redirects (urllib follows 3xx like the reference's net/http
+    # client): relative links resolve against THIS (goribot.go:163-166 uses
+    # resp.Request.URL, which net/http rewrites per hop), while the frontier
+    # key / retry identity stays the REQUESTED url.
+    StructField("final_url", StringType(), True),
 ]
 
 
@@ -63,7 +68,8 @@ def fetch_one(
     timeout_sec: float,
     default_ua: str,
 ):
-    """One HTTP exchange → (status, content_type, body, set_cookies).
+    """One HTTP exchange → (status, content_type, body, set_cookies,
+    final_url).
 
     Request shape comes from the same meta keys the canonical request hash
     covers (canon.py): ``h:<Header>`` → header, ``c:<name>`` → cookie
@@ -102,7 +108,7 @@ def fetch_one(
             raw = resp.read()
             ctype = resp.headers.get("Content-Type")
             set_cookies = _parse_set_cookies(resp.headers)
-            return int(resp.status), ctype, raw, set_cookies
+            return int(resp.status), ctype, raw, set_cookies, resp.geturl()
     except urllib.error.HTTPError as e:
         # Non-2xx IS a completed exchange: status flows to the okcodes
         # filter / retry router, exactly like the synthetic page status.
@@ -110,9 +116,15 @@ def fetch_one(
             raw = e.read()
         except Exception:
             raw = None
-        return int(e.code), e.headers.get("Content-Type"), raw, _parse_set_cookies(e.headers)
+        return (
+            int(e.code),
+            e.headers.get("Content-Type"),
+            raw,
+            _parse_set_cookies(e.headers),
+            e.geturl(),
+        )
     except Exception:
-        return None, None, None, None  # transport error → retry path
+        return None, None, None, None, None  # transport error → retry path
 
 
 def _parse_set_cookies(headers) -> dict[str, str] | None:
@@ -204,7 +216,7 @@ def live_fetch_robots(
                             urls,
                         )
                     )
-                for host, (status, _ct, body, _sc) in zip(pdf["host"], results):
+                for host, (status, _ct, body, _sc, _fu) in zip(pdf["host"], results):
                     rules = []
                     transient = False
                     if status is not None and 200 <= status < 300 and body is not None:
@@ -258,6 +270,7 @@ def live_fetch(
                     content_type=pd.Series(dtype="object"),
                     body=pd.Series(dtype="object"),
                     set_cookies=pd.Series(dtype="object"),
+                    final_url=pd.Series(dtype="object"),
                 )
                 continue
             metas = pdf["meta"] if has_meta else [None] * n
@@ -273,6 +286,7 @@ def live_fetch(
                 content_type=pd.Series([r[1] for r in results], index=pdf.index, dtype="object"),
                 body=pd.Series([r[2] for r in results], index=pdf.index, dtype="object"),
                 set_cookies=pd.Series([r[3] for r in results], index=pdf.index, dtype="object"),
+                final_url=pd.Series([r[4] for r in results], index=pdf.index, dtype="object"),
             )
 
     return df.mapInPandas(fetch_batches, out_schema)

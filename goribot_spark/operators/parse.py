@@ -41,13 +41,20 @@ _CHARSET_RE = re.compile(r"charset=([\w\-]+)", re.I)
 _META_CHARSET_RE = re.compile(rb"<meta[^>]+charset=[\"']?([\w\-]+)", re.I)
 
 
-def _decode_text(body: bytes, ctype: str) -> str:
+def _decode_text(body: bytes, ctype: str, forced: str | None = None) -> str:
     """Charset resolution mirroring net.go:199-206 (forced encoding, else
-    chardet auto-detection) with a deterministic detector: declared charset
-    → BOM → <meta charset> sniff in the first 1 KiB → strict-UTF-8 try →
-    GBK try → permissive UTF-8. Covers the reference's own detection test
-    corpus (GBK pages without a charset declaration, net_test.go:82-92)
-    without a chardet dependency."""
+    chardet auto-detection) with a deterministic detector: FORCED charset
+    (Request.ResponseCharacterEncoding, net.go:94 — honored ahead of
+    everything at net.go:199-201; carried as the ``charset`` meta key here)
+    → declared charset → BOM → <meta charset> sniff in the first 1 KiB →
+    strict-UTF-8 try → GBK try → permissive UTF-8. Covers the reference's
+    own detection test corpus (GBK pages without a charset declaration,
+    net_test.go:82-92) without a chardet dependency."""
+    if forced:
+        try:
+            return body.decode(forced, errors="replace")
+        except LookupError:
+            pass  # unknown codec name → fall through to the detector
     m = _CHARSET_RE.search(ctype)
     if m:
         return body.decode(m.group(1), errors="replace")
@@ -101,7 +108,7 @@ class _Extractor(HTMLParser):
             self.title_parts.append(data)
 
 
-def _parse_one(body: bytes | None, content_type: str | None):
+def _parse_one(body: bytes | None, content_type: str | None, forced: str | None = None):
     if body is None:
         return None, None, None, None, "empty_body"
     try:
@@ -119,7 +126,7 @@ def _parse_one(body: bytes | None, content_type: str | None):
                 None,
             )
         if "html" in ctype or ctype.startswith("text/"):
-            text = _decode_text(body, ctype)
+            text = _decode_text(body, ctype, forced)
             ex = _Extractor()
             ex.feed(text)
             return ex.links, ex.images, ex.alts, "".join(ex.title_parts), None
@@ -130,10 +137,12 @@ def _parse_one(body: bytes | None, content_type: str | None):
 
 
 @F.pandas_udf(PARSED)
-def parse_body_udf(body: pd.Series, content_type: pd.Series) -> pd.DataFrame:
+def parse_body_udf(
+    body: pd.Series, content_type: pd.Series, forced_charset: pd.Series
+) -> pd.DataFrame:
     out = {"links": [], "image_refs": [], "image_alts": [], "title": [], "parse_error": []}
-    for b, ct in zip(body, content_type):
-        links, imgs, alts, title, err = _parse_one(b, ct)
+    for b, ct, fc in zip(body, content_type, forced_charset):
+        links, imgs, alts, title, err = _parse_one(b, ct, fc)
         out["links"].append(links)
         out["image_refs"].append(imgs)
         out["image_alts"].append(alts)
@@ -144,9 +153,19 @@ def parse_body_udf(body: pd.Series, content_type: pd.Series) -> pd.DataFrame:
 
 def with_parsed(df, body_col: str = "body", ctype_col: str = "content_type"):
     """Attach parsed.links / parsed.image_refs / parsed.image_alts /
-    parsed.title / parse_error."""
+    parsed.title / parse_error. Rows whose ``meta`` map carries a
+    ``charset`` key get that encoding FORCED ahead of the detector — the
+    per-request override of net.go:94/199-201, honored identically by both
+    fetch legs (the parse stage is shared)."""
+    forced = (
+        F.element_at(F.col("meta"), F.lit("charset"))
+        if "meta" in df.columns
+        else F.lit(None).cast("string")
+    )
     return (
-        df.withColumn("_parsed", parse_body_udf(F.col(body_col), F.col(ctype_col)))
+        df.withColumn(
+            "_parsed", parse_body_udf(F.col(body_col), F.col(ctype_col), forced)
+        )
         .withColumn("links", F.col("_parsed.links"))
         .withColumn("image_refs", F.col("_parsed.image_refs"))
         .withColumn("image_alts", F.col("_parsed.image_alts"))

@@ -54,6 +54,12 @@ class _Site(BaseHTTPRequestHandler):
             path = "/" + path.split("/", 3)[3]
         with srv.lock:
             srv.seen_headers.setdefault(path, []).append(dict(self.headers))
+        tgt = getattr(srv, "redirects", {}).get(path)
+        if tgt is not None:
+            self.send_response(302)
+            self.send_header("Location", tgt)
+            self.end_headers()
+            return
         extra = getattr(srv, "extra_pages", {}).get(path)
         if extra is not None:
             body, ctype = extra
@@ -134,6 +140,7 @@ def site():
     srv.flaky_hits = 0
     srv.extra_pages = {}
     srv.robots_status_seq = []
+    srv.redirects = {}
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -239,6 +246,74 @@ def test_live_fetch_proxy_and_request_shape(spark, site, tmp_path):
     assert {r["url"] for r in eng.store.fetch_log().collect()} == {
         "http://proxied.test/p/5"
     }
+
+
+def test_live_redirect_resolution_and_identity(spark, site, tmp_path):
+    """Redirect semantics (goribot.go:163-166; net/http rewrites
+    Request.URL per hop, urllib follows the same way): relative links and
+    image refs resolve against the FINAL post-redirect URL, while the
+    frontier/dedup/retry key stays the REQUESTED url."""
+    base = f"http://127.0.0.1:{site.server_address[1]}"
+    site.redirects["/r/0"] = "/p/sub/real"
+    site.extra_pages["/p/sub/real"] = (
+        _html("real", ["next"], [("i.png", "sub image")]),
+        "text/html; charset=utf-8",
+    )
+    site.extra_pages["/p/sub/next"] = (_html("next"), "text/html; charset=utf-8")
+    site.extra_pages["/p/sub/i.png"] = (PNGS["/img/0.png"], "image/png")
+    run = str(tmp_path / "run_redirect")
+    cfg = CrawlConfig(fetch_mode="live", max_waves=6, ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    eng.seed([f"{base}/r/0"])
+    eng.run()
+    urls = {r["url"] for r in eng.store.fetch_log().collect()}
+    # requested URL is the frontier identity; the relative link resolved
+    # against the redirect TARGET's directory, not /r/
+    assert f"{base}/r/0" in urls
+    assert f"{base}/p/sub/next" in urls
+    assert f"{base}/r/next" not in urls and f"{base}/next" not in urls
+    # image ref likewise resolved against the final URL; caption intact
+    res = {r["image_id"]: r for r in eng.store.read("results").collect()}
+    assert f"{base}/p/sub/i.png" in res
+    assert res[f"{base}/p/sub/i.png"]["caption"] == "sub image"
+    assert res[f"{base}/p/sub/i.png"]["decode_error"] is None
+    # dedup keys use the REQUESTED url: re-seeding it is a duplicate
+    assert eng.seed([f"{base}/r/0"]) == 0
+
+
+def test_live_forced_charset_meta(spark, site, tmp_path):
+    """Forced response charset (net.go:94 ResponseCharacterEncoding,
+    honored ahead of detection at net.go:199-201): a page that LIES about
+    its encoding (GBK bytes, charset=utf-8 declared) decodes correctly when
+    the request meta carries charset=gbk — the declared header would
+    otherwise win and mojibake the caption."""
+    base = f"http://127.0.0.1:{site.server_address[1]}"
+    body = (
+        '<html><head><title>说谎页</title></head><body>'
+        '<img src="/img/0.png" alt="中文说明"></body></html>'
+    ).encode("gbk")
+    site.extra_pages["/p/lie"] = (body, "text/html; charset=utf-8")
+    run = str(tmp_path / "run_charset")
+    cfg = CrawlConfig(fetch_mode="live", max_waves=4, ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    eng.seed([f"{base}/p/lie"], meta={"charset": "gbk"})
+    eng.run()
+    res = {r["image_id"]: r for r in eng.store.read("results").collect()}
+    assert res[f"{base}/img/0.png"]["caption"] == "中文说明"
+
+
+def test_parse_one_forced_charset_unit():
+    """_parse_one honors the forced charset ahead of a lying declared one;
+    an unknown codec name falls through to the detector instead of failing."""
+    from goribot_spark.operators.parse import _parse_one
+
+    body = "<html><head><title>中文</title></head><body></body></html>".encode("gbk")
+    _, _, _, title, err = _parse_one(body, "text/html; charset=utf-8", "gbk")
+    assert err is None and title == "中文"
+    _, _, _, title2, err2 = _parse_one(body, "text/html; charset=utf-8", None)
+    assert err2 is None and title2 != "中文"  # lying header wins without force
+    _, _, _, title3, err3 = _parse_one(body, "text/html", "no-such-codec")
+    assert err3 is None and title3 == "中文"  # detector fallback
 
 
 def test_parse_robots_txt_grammar():
