@@ -11,6 +11,8 @@ deterministic hashing (reproducible runs — the reference's time-seeded
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,10 +82,20 @@ def gjson_path(col, path: str) -> Column:
       ``friends.#``    → count of the array   (json_array_length)
       ``friends.#.first`` → ``$.friends[*].first`` (project each element —
                           gjson and Spark both return a JSON array string)
-    Paths already starting with ``$`` pass through as raw JsonPath.
+      ``friends.#(last=="Murphy").first``  → first matching element ("Dale")
+      ``friends.#(last=="Murphy")#.first`` → all matches (["Dale","Jane"])
+      ``friends.#(age>45)#.last``          → numeric compare
+      ``friends.#(first%"D*").last``       → glob match (``!%`` negates)
+    Queries stay JVM-side: the array is parsed once via from_json to
+    array<string> (each element's raw JSON text), filtered/projected with
+    higher-order functions. Paths starting with ``$`` pass through as raw
+    JsonPath.
     """
     if path.startswith("$"):
         return F.get_json_object(col, path)
+    m = _GJSON_QUERY_RE.match(path)
+    if m:
+        return _gjson_query(col, m)
     parts = path.split(".")
     if parts[-1] == "#" and len(parts) > 1:
         inner = _gjson_to_jsonpath(parts[:-1])
@@ -91,6 +103,63 @@ def gjson_path(col, path: str) -> Column:
     if parts == ["#"]:
         return F.json_array_length(col).cast("string")
     return F.get_json_object(col, _gjson_to_jsonpath(parts))
+
+
+# gjson query segment: <prefix>.#(<key><op><value>)[#][.<rest>]
+_GJSON_QUERY_RE = re.compile(
+    r'^(?:(?P<prefix>.+)\.)?#\((?P<key>[\w.]+)\s*'
+    r'(?P<op>==|!=|<=|>=|<|>|!%|%)\s*'
+    r'(?P<val>"[^"]*"|[^)]+)\)(?P<all>#?)(?:\.(?P<rest>.+))?$'
+)
+
+
+def _gjson_query(col, m) -> Column:
+    """Evaluate a gjson ``#(...)`` query (tidwall/gjson README operators:
+    ==, !=, <, <=, >, >=, % glob, !% not-glob). Without the trailing ``#``
+    the first match is returned (raw value, like gjson); with it, a JSON
+    array of all matches."""
+    import fnmatch
+
+    prefix, key, op, val, all_, rest = (
+        m.group("prefix"), m.group("key"), m.group("op"),
+        m.group("val"), m.group("all"), m.group("rest"),
+    )
+    arr_json = (
+        F.get_json_object(col, _gjson_to_jsonpath(prefix.split("."))) if prefix else col
+    )
+    arr = F.from_json(arr_json, "array<string>")
+    field = lambda e: F.get_json_object(e, _gjson_to_jsonpath(key.split(".")))  # noqa: E731
+    if val.startswith('"'):
+        sval = val[1:-1]
+        if op == "%":
+            pred = lambda e: field(e).rlike("^" + fnmatch.translate(sval))  # noqa: E731
+        elif op == "!%":
+            pred = lambda e: ~field(e).rlike("^" + fnmatch.translate(sval))  # noqa: E731
+        else:
+            cmps = {
+                "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+            }
+            pred = lambda e: cmps[op](field(e), F.lit(sval))  # noqa: E731
+    else:
+        nval = F.lit(float(val.strip()))
+        cmps = {
+            "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        }
+        pred = lambda e: cmps[op](field(e).cast("double"), nval)  # noqa: E731
+    matches = F.filter(arr, pred)
+    if rest:
+        proj = F.transform(
+            matches, lambda e: F.get_json_object(e, _gjson_to_jsonpath(rest.split(".")))
+        )
+    else:
+        proj = matches
+    if all_:
+        return F.to_json(proj)
+    return F.get(proj, 0)
 
 
 def _gjson_to_jsonpath(parts: list[str]) -> str:

@@ -89,6 +89,41 @@ def test_on_json_gjson_paths(spark):
     assert out["second_friend"] == "Roger"
 
 
+def test_on_json_gjson_queries(spark):
+    """gjson `#(...)` queries (tidwall/gjson README's own examples): first
+    match, all matches (`)#`), numeric compare, glob and not-glob — all
+    JVM-side (from_json to array<string> + higher-order filter/transform)."""
+    doc = (
+        '{"name": {"first": "Tom", "last": "Anderson"}, "age": 37, '
+        '"friends": ['
+        '{"first": "Dale", "last": "Murphy", "age": 44}, '
+        '{"first": "Roger", "last": "Craig", "age": 68}, '
+        '{"first": "Jane", "last": "Murphy", "age": 47}]}'
+    )
+    df = spark.createDataFrame([(doc,)], "body_text string")
+    out = (
+        df.transform(on_json('friends.#(last=="Murphy").first', "q1"))
+        .transform(on_json('friends.#(last=="Murphy")#.first', "q2"))
+        .transform(on_json("friends.#(age>45)#.last", "q3"))
+        .transform(on_json('friends.#(first%"D*").last', "q4"))
+        .transform(on_json('friends.#(first!%"D*").last', "q5"))
+        .transform(on_json('friends.#(last!="Murphy").first', "q6"))
+        .transform(on_json('friends.#(age<=44)#.first', "q7"))
+        .transform(on_json('friends.#(last=="Nobody").first', "q8"))
+        .transform(on_json('friends.#(last=="Nobody")#.first', "q9"))
+        .collect()[0]
+    )
+    assert out["q1"] == "Dale"
+    assert out["q2"] == '["Dale","Jane"]'
+    assert out["q3"] == '["Craig","Murphy"]'
+    assert out["q4"] == "Murphy"
+    assert out["q5"] == "Craig"
+    assert out["q6"] == "Roger"
+    assert out["q7"] == '["Dale"]'
+    assert out["q8"] is None  # no first match
+    assert out["q9"] == "[]"  # all-matches form: empty array
+
+
 HTML = """
 <html><body>
   <div class="item"><span class="t">first</span></div>
