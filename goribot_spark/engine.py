@@ -303,20 +303,20 @@ class CrawlEngine:
         — the list path's driver hashing is measurable serial cost at ~10^5
         seeds and gone here.
 
-        ORDERING CAVEAT: seq here ranks by ``order_col`` (default:
-        lexicographic url — a table has no input order), while ``seed``
-        ranks by list position. The crawled SET is identical, but under
-        seq-ordering-sensitive admission (a MaxReq rule trims by seq rank)
-        the two paths may admit DIFFERENT urls from the same seed set —
-        pass an explicit rank column as ``order_col`` when that matters
-        (tested: test_seed_frame_max_req_order_divergence)."""
+        ORDERING: seq ranks by ``order_col``. The default ("url",
+        lexicographic) exists because a table has no input order; to admit
+        the SAME set as ``seed`` under seq-ordering-sensitive admission (a
+        MaxReq rule trims by seq rank), pass an explicit input-order column
+        as ``order_col`` — both paths then admit identical sets (tested:
+        test_seed_frame_max_req_order_parity)."""
         from goribot_spark.canon import with_url_hash
         from goribot_spark.operators.discover import host_of
         from goribot_spark.operators.ordering import with_global_rank
 
         state = self.store.manifest["driver_state"]
         seq_base = int(state.get("seq_base", 0))
-        base = urls.select("url").where(F.col("url").isNotNull())
+        cols = ["url"] if order_col == "url" else ["url", order_col]
+        base = urls.select(*cols).where(F.col("url").isNotNull())
         base = with_url_hash(base, "url", "url_hash").withColumn(
             "host", host_of(F.col("url"))
         )
@@ -451,6 +451,42 @@ class CrawlEngine:
             handler_id=handler_id,
             priority=priority,
             meta=[m for _, m in reqs],
+        )
+
+    def add_cookies_to_jar(self, url_or_host: str, cookies: dict[str, str]) -> None:
+        """AddCookieToJar analog (extensions.go:272-285): pre-seed the
+        per-host cookie jar so the FIRST requests to the host already carry
+        the cookies (login tokens etc.), before any Set-Cookie response
+        exists. Merges into the current host_state snapshot with the same
+        override semantics as a wave's Set-Cookie merge (new value wins per
+        name) and commits it as a snapshot — resumable, and visible to
+        other sessions sharing the run_dir."""
+        from urllib.parse import urlsplit
+
+        host = (urlsplit(url_or_host).hostname or url_or_host).lower()
+        latest = self.spark.createDataFrame(
+            [(host, k, v) for k, v in cookies.items()], "host string, ck string, cv string"
+        )
+        prev = (
+            self.store.host_state()
+            .select("host", F.explode("cookies").alias("ck", "cv"))
+            .join(latest.select("host", "ck"), on=["host", "ck"], how="left_anti")
+        )
+        merged = (
+            prev.unionByName(latest)
+            .groupBy("host")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("ck", "cv")))
+                ).alias("cookies")
+            )
+            .repartition(1)
+            .sortWithinPartitions("host")
+        )
+        wave = self.store.last_wave() + 1
+        self.store.write("host_state", wave, merged)
+        self.store.commit_wave(
+            wave, {"jar_preseed": len(cookies)}, self.store.manifest["driver_state"]
         )
 
     # -- one superstep -----------------------------------------------------

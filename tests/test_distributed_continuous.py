@@ -70,11 +70,11 @@ def test_continuous_mode_picks_up_mid_run_seeds(spark, fx, tmp_path):
     assert "http://site2.test/p/0" in urls
 
 
-def test_seed_frame_max_req_order_divergence(spark, fx, tmp_path):
-    """Documented seeding-order caveat under a MaxReq rule: seed() ranks by
-    list position, seed_frame() by order_col (default: url). The admitted
-    COUNT is identical (budget respected); the admitted SET follows each
-    path's documented order."""
+def test_seed_frame_max_req_order_parity(spark, fx, tmp_path):
+    """Under a MaxReq rule, seed() (list position) and seed_frame() with an
+    explicit input-order column admit the SAME set. The default order_col
+    ("url") remains documented lexicographic behavior — a table has no
+    inherent input order."""
     from goribot_spark.operators.admission import LimitRule
 
     urls = [
@@ -90,7 +90,17 @@ def test_seed_frame_max_req_order_divergence(spark, fx, tmp_path):
     got_a = {r["url"] for r in a.store.read("frontier").select("url").collect()}
     assert got_a == set(urls[:3])  # input order wins
 
+    # explicit input-order column → identical admitted set to seed()
     b = CrawlEngine(spark, fx, str(tmp_path / "byframe"), cfg())
-    assert b.seed_frame(spark.createDataFrame([(u,) for u in urls], "url string")) == 3
+    frame = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls)], "url string, ord int"
+    )
+    assert b.seed_frame(frame, order_col="ord") == 3
     got_b = {r["url"] for r in b.store.read("frontier").select("url").collect()}
-    assert got_b == set(sorted(urls)[:3])  # lexicographic order wins
+    assert got_b == got_a
+
+    # default order_col: documented lexicographic ranking
+    c = CrawlEngine(spark, fx, str(tmp_path / "bydefault"), cfg())
+    assert c.seed_frame(spark.createDataFrame([(u,) for u in urls], "url string")) == 3
+    got_c = {r["url"] for r in c.store.read("frontier").select("url").collect()}
+    assert got_c == set(sorted(urls)[:3])

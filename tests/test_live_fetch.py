@@ -316,6 +316,26 @@ def test_parse_one_forced_charset_unit():
     assert err3 is None and title3 == "中文"  # detector fallback
 
 
+def test_cookie_jar_preseed(spark, site, tmp_path):
+    """AddCookieToJar (extensions.go:272-285): cookies pre-seeded into the
+    jar ride on the very first (wave-0) requests to the host, merge with
+    later Set-Cookie state, and survive in the host_state snapshot."""
+    base = f"http://127.0.0.1:{site.server_address[1]}"
+    run = str(tmp_path / "run_preseed")
+    cfg = CrawlConfig(fetch_mode="live", max_waves=4, ua="live-test")
+    eng = CrawlEngine(spark, None, run, cfg)
+    eng.add_cookies_to_jar(f"{base}/", {"tok": "pre1", "b": "2"})
+    eng.seed([f"{base}/p/5"])
+    eng.run()
+    hs = site.seen_headers["/p/5"]
+    assert any(
+        "tok=pre1" in h.get("Cookie", "") and "b=2" in h.get("Cookie", "")
+        for h in hs
+    )
+    jar = {r["host"]: r["cookies"] for r in eng.store.host_state().collect()}
+    assert jar["127.0.0.1"]["tok"] == "pre1" and jar["127.0.0.1"]["b"] == "2"
+
+
 def test_parse_robots_txt_grammar():
     from goribot_spark.operators.fetch import parse_robots_txt
 
