@@ -591,7 +591,8 @@ bands as (
   select doc_id, b.b band_id,
     array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ',') band_key,
     count(*) over (partition by b.b, band_key) _cnt,
-    min(doc_id) over (partition by b.b, band_key) _rep
+    min(doc_id) over (partition by b.b, band_key) _rep,
+    lag(doc_id) over (partition by b.b, band_key order by doc_id) _prev
   from sig cross join (select unnest(generate_series(0, 3)) b) b
 ),
 cand as (
@@ -600,6 +601,8 @@ cand as (
   where a.doc_id < b.doc_id and a._cnt <= {cap}
   union
   select _rep, doc_id from bands where _cnt > {cap} and doc_id != _rep
+  union
+  select _prev, doc_id from bands where _cnt > {cap} and _prev is not null
 ),
 j as (
   select id_a, id_b,
@@ -694,7 +697,9 @@ _SIMHASH_PAIRS_SQL = (
 , bands as (
   select doc_id, uv, b.b band_id, (uv >> (16 * b.b)) & 65535 band_val,
     count(*) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _cnt,
-    min(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _rep
+    min(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _rep,
+    lag(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535
+                      order by doc_id) _prev
   from full_sim cross join (select unnest(generate_series(0, 3)) b) b
   where uv != 0
 ),
@@ -704,6 +709,9 @@ cand as (
   where a.doc_id < b.doc_id and a._cnt <= {LSH_BUCKET_CAP}
   union
   select _rep, doc_id from bands where _cnt > {LSH_BUCKET_CAP} and doc_id != _rep
+  union
+  select _prev, doc_id from bands
+  where _cnt > {LSH_BUCKET_CAP} and _prev is not null
 )
 select distinct id_a, id_b, bit_count(xor(fa.uv, fb.uv))::INT hamming
 from cand
@@ -768,7 +776,8 @@ _NEARDUP_LSH_SQL = (
 , bk as (
   select vec_id, table_id, bucket,
     count(*) over (partition by table_id, bucket) _cnt,
-    min(vec_id) over (partition by table_id, bucket) _rep
+    min(vec_id) over (partition by table_id, bucket) _rep,
+    lag(vec_id) over (partition by table_id, bucket order by vec_id) _prev
   from buck
 ),
 cand as (
@@ -777,6 +786,8 @@ cand as (
   where a.vec_id < b.vec_id and a._cnt <= 1024
   union
   select _rep, vec_id from bk where _cnt > 1024 and vec_id != _rep
+  union
+  select _prev, vec_id from bk where _cnt > 1024 and _prev is not null
 )
 select id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) sim
 from cand join e ea on ea.vec_id = id_a join e eb on eb.vec_id = id_b
@@ -1023,7 +1034,8 @@ def oracle_sql() -> dict[str, str]:
             g as (
               select doc_id, fp8,
                 count(*) over (partition by fp8) _cnt,
-                min(doc_id) over (partition by fp8) _rep
+                min(doc_id) over (partition by fp8) _rep,
+                lag(doc_id) over (partition by fp8 order by doc_id) _prev
               from p
             )
             select a.doc_id id_a, b.doc_id id_b, 0::INT hamming
@@ -1032,5 +1044,8 @@ def oracle_sql() -> dict[str, str]:
             union
             select _rep, doc_id, 0::INT
             from g where _cnt > {LSH_BUCKET_CAP} and doc_id != _rep
+            union
+            select _prev, doc_id, 0::INT
+            from g where _cnt > {LSH_BUCKET_CAP} and _prev is not null
         """,
     }

@@ -42,18 +42,32 @@ def _split_buckets(
     Buckets holding <= ``cap`` members keep the all-pairs self-join (cost
     bounded at C(cap, 2) per bucket). Over-cap buckets — precisely the
     boilerplate/degenerate masses that would go quadratic — degrade to
-    LINEAR star candidates (bucket-min id, member id) against the bucket's
-    representative instead of being dropped outright: a million-page
+    LINEAR candidates instead of being dropped outright: a million-page
     near-verbatim mass still reaches the verify stage (and clusters into
     one component via connected_components) at O(n) candidates, where the
     old drop-the-bucket behavior produced ZERO pairs for any near-dup group
-    larger than the cap. False bucket collisions inside a mass are pruned
-    by the caller's exact verify (Jaccard / hamming / cosine), same as
-    equi-join candidates. The over-cap key list and per-bucket reps are
-    count/min aggregates (map-side combine, keys only) broadcast back.
+    larger than the cap. Two linear legs per over-cap bucket:
+
+      * STAR (bucket-min id, member) — anchors the bucket to one rep;
+      * CHAIN (member_i, member_i+1, consecutive in id order) — keeps the
+        bucket's members connected even when the rep is an OUTLIER that
+        fails the exact verify against them (similarity is not transitive
+        at threshold boundaries; star-only candidates silently lost every
+        member<->member pair in that case — r3 verdict finding #1).
+
+    Together they make the candidate subgraph over each over-cap bucket
+    connected, so component-level clustering survives a bad rep; the raw
+    pair list remains intentionally sub-quadratic (not all member pairs are
+    emitted — the standard LSH trade, now pinned by
+    test_star_chain_rep_outlier_recovery). False bucket collisions inside a
+    mass are pruned by the caller's exact verify (Jaccard / hamming /
+    cosine), same as equi-join candidates. The over-cap key list and
+    per-bucket reps are count/min aggregates (map-side combine, keys only)
+    broadcast back; the chain is one lag window over the over-cap rows.
 
     Returns (kept_banded, star_pairs) — star_pairs is (id_a, id_b) with
-    id_a < id_b (the rep is the min), or None when cap is None."""
+    id_a < id_b (star: rep is the min; chain: id-consecutive), or None when
+    cap is None."""
     if cap is None:
         return banded, None
     # The banded frame is consumed by FIVE subtrees below (count, anti,
@@ -76,9 +90,16 @@ def _split_buckets(
         heavy.join(F.broadcast(reps), key_cols)
         .where(F.col(id_col) != F.col("_rep"))
         .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
-        .distinct()
     )
-    return kept, stars
+    from pyspark.sql import Window
+
+    wchain = Window.partitionBy(*key_cols).orderBy(id_col)
+    chain = (
+        heavy.withColumn("_prev", F.lag(id_col).over(wchain))
+        .where(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return kept, stars.unionByName(chain).distinct()
 
 
 # -- exact dedup ------------------------------------------------------------

@@ -66,10 +66,14 @@ def test_minhash_degenerate_buckets_star_degrade(spark):
     # empty/short docs (null signature) are excluded outright
     ids = {p for r in pairs for p in (r["id_a"], r["id_b"])}
     assert all(p >= BOILER_LO for p in ids), f"null-sig ids in pairs: {sorted(ids)[:5]}"
-    # the 2000-doc boilerplate mass is LINEAR star candidates, not quadratic
-    # all-pairs and not zero: exactly (min_id, other) for every member
+    # the 2000-doc boilerplate mass is LINEAR candidates, not quadratic
+    # all-pairs and not zero: the star set (min_id, other) plus the
+    # id-consecutive chain (member connectivity without the rep)
     boiler = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < BOILER_HI}
-    assert boiler == {(BOILER_LO, x) for x in range(BOILER_LO + 1, BOILER_HI)}
+    want = {(BOILER_LO, x) for x in range(BOILER_LO + 1, BOILER_HI)} | {
+        (x, x + 1) for x in range(BOILER_LO, BOILER_HI - 1)
+    }
+    assert boiler == want
     # the genuine near-dups (under-cap buckets) still all-pair
     real = [r for r in pairs if r["id_a"] >= REAL_LO]
     assert len(real) >= 15
@@ -89,11 +93,16 @@ def test_simhash_degenerate_buckets_star_degrade(spark):
     # empty docs (simhash 0) excluded outright
     assert all(p >= 4_000 for p in ids), f"simhash-0 ids in pairs: {sorted(ids)[:5]}"
     # the two identical-text masses ("hi there" x4000, boilerplate x2000)
-    # appear as hamming-0 stars against each mass's min id — linear
+    # appear as hamming-0 star+chain candidates per mass — linear
+    def star_chain(lo, hi):
+        return {(lo, x) for x in range(lo + 1, hi)} | {
+            (x, x + 1) for x in range(lo, hi - 1)
+        }
+
     short_stars = {(a, b) for a, b in got if b < BOILER_LO}
-    assert short_stars == {(4_000, x) for x in range(4_001, BOILER_LO)}
+    assert short_stars == star_chain(4_000, BOILER_LO)
     boiler_stars = {(a, b) for a, b in got if 4_000 <= a < BOILER_HI and b < BOILER_HI and b >= BOILER_LO}
-    assert boiler_stars == {(BOILER_LO, x) for x in range(BOILER_LO + 1, BOILER_HI)}
+    assert boiler_stars == star_chain(BOILER_LO, BOILER_HI)
     # the real near-identical docs still collide within hamming<=3
     assert len([1 for a, b in got if a >= REAL_LO]) >= 15
 
@@ -121,7 +130,8 @@ def test_embedding_bucket_cap_star_degrade(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in out}
     mass = {p for p in got if p[1] < 1000}
-    assert mass == {(0, i) for i in range(1, 500)}  # linear stars, sim = 1.0
+    want = {(0, i) for i in range(1, 500)} | {(i, i + 1) for i in range(0, 499)}
+    assert mass == want  # linear star+chain, sim = 1.0
     assert (1000, 1001) in got
     assert got == mass | {(1000, 1001)}
 
@@ -186,4 +196,33 @@ def test_phash_near_dups_images(spark):
     # linear star set (min image_id -> member), hamming 0
     assert all(not a.startswith("blank") for p in got for a in p)
     mass = {p for p in got if p[0].startswith("mass") or p[1].startswith("mass")}
-    assert mass == {("mass000", f"mass{i:03d}") for i in range(1, 200)}
+    want = {("mass000", f"mass{i:03d}") for i in range(1, 200)} | {
+        (f"mass{i:03d}", f"mass{i + 1:03d}") for i in range(199)
+    }
+    assert mass == want
+
+
+def test_star_chain_rep_outlier_recovery(spark):
+    """The r3-verdict pair-loss case: an over-cap bucket whose members are
+    pairwise near-dups but NOT near-dups of the bucket-min rep (similarity
+    is not transitive at threshold boundaries). Star-only candidates
+    produced ZERO verified pairs here; the chain leg keeps the members
+    connected, so they still pair and cluster. The raw pair list remains
+    sub-quadratic by contract (not every member pair is emitted)."""
+    from goribot_spark.functions.dedup import connected_components, hamming_near_dups
+
+    base = 0x0123_4567_89AB_0000  # low 16 bits zero → shared band 0 bucket
+    # rep (min id) is 5 bits away from the mass — outside max_hamming=3
+    rows = [(0, base ^ (0b11111 << 16))]
+    # members: pairwise hamming <= 2 (each differs from `base` in <= 1 of
+    # bits 16/17), all sharing band 0 (low 16 bits) with the rep
+    rows += [(i, base ^ ((i % 2) << 16)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    pairs = hamming_near_dups(df, "doc_id", "h", max_hamming=3, bucket_cap=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # no pair involves the outlier rep...
+    assert all(a != 0 and b != 0 for a, b in got), got
+    # ...but the chain keeps every member reachable: one component of 1..9
+    comp = connected_components(pairs)
+    labels = {r["node"]: r["comp"] for r in comp.collect()}
+    assert {labels[i] for i in range(1, 10)} == {1}
