@@ -924,11 +924,21 @@ class CrawlEngine:
                 .sortWithinPartitions("host")
             )
 
+        # Row count captured INSIDE the write action (Observation API): the
+        # previous footer-metadata count(*) over the freshly-written files
+        # was a separate job serialized after the longest write of the wave
+        # — pure per-wave driver floor. observe() rides the write job free.
+        from pyspark.sql import Observation
+
+        results_obs = Observation()
         writes = {
             # results: uncoalesced — decode executes inside this write stage
             # at sp-partition parallelism; results is append-only output,
             # never re-read by the wave loop, so its file count is harmless.
-            "results": results,
+            "results": results.observe(results_obs, F.count(F.lit(1)).alias("n")),
+            # per-partition lineage metrics write concurrently with results;
+            # the totals row (needs the observed count) is APPENDED after.
+            "metrics": metrics.coalesce(1),
             "consumed": wave_df.select(
                 "url_hash", "retry_count", "seq", F.lit(wave).cast("int").alias("wave")
             ).coalesce(_nfiles(scheduled)),
@@ -959,12 +969,9 @@ class CrawlEngine:
             }
             futures["results"].result()
             mark("write_results")
-            # Row count via parquet footer metadata of what was just written
-            # (count(*) pushdown — no data scan, no second decode pass).
-            images_n = self.spark.read.parquet(
-                self.store.wave_path("results", wave)
-            ).count()
-            mark("count_results")
+            # Count observed inside the write job — no second job, no
+            # re-listing of the files just written.
+            images_n = int(results_obs.get["n"])
             wall = time.time() - t0
             # Totals row as JVM-side literals (spark.range(1).select(lit…)),
             # NOT createDataFrame: a python-local row reaches the writer as
@@ -981,11 +988,11 @@ class CrawlEngine:
                 F.lit(0).cast("long").alias("distinct_hosts"),
                 F.lit(float(wall)).alias("wall_sec"),
             )
-            metrics = metrics.unionByName(totals)
-            futures["metrics"] = pool.submit(
-                self.store.write, "metrics", wave, metrics.coalesce(1)
-            )
+            # The per-partition rows were written concurrently with results
+            # (overwrite); the totals row appends after — ordering enforced
+            # by waiting on the metrics future first.
             futures["metrics"].result()
+            self.store.append("metrics", wave, totals.coalesce(1))
             mark("metrics_write")
             for t, fut in futures.items():
                 fut.result()
