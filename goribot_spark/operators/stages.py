@@ -86,6 +86,10 @@ def gjson_path(col, path: str) -> Column:
       ``friends.#(last=="Murphy")#.first`` → all matches (["Dale","Jane"])
       ``friends.#(age>45)#.last``          → numeric compare
       ``friends.#(first%"D*").last``       → glob match (``!%`` negates)
+      ``children.@reverse`` / ``.0``       → modifiers: @this @reverse
+                          @keys @values @flatten (scalar-element arrays;
+                          nested objects inside a modified array come back
+                          as JSON-escaped strings, a documented divergence)
     Queries stay JVM-side: the array is parsed once via from_json to
     array<string> (each element's raw JSON text), filtered/projected with
     higher-order functions. Paths starting with ``$`` pass through as raw
@@ -93,6 +97,14 @@ def gjson_path(col, path: str) -> Column:
     """
     if path.startswith("$"):
         return F.get_json_object(col, path)
+    if "@" in path:
+        segs = _split_gjson_segments(path)
+        for i, s in enumerate(segs):
+            if s.startswith("@"):
+                base = gjson_path(col, ".".join(segs[:i])) if i else col
+                modified = _gjson_modifier(base, s)
+                rest = ".".join(segs[i + 1 :])
+                return gjson_path(modified, rest) if rest else modified
     m = _GJSON_QUERY_RE.match(path)
     if m:
         return _gjson_query(col, m)
@@ -103,6 +115,56 @@ def gjson_path(col, path: str) -> Column:
     if parts == ["#"]:
         return F.json_array_length(col).cast("string")
     return F.get_json_object(col, _gjson_to_jsonpath(parts))
+
+
+def _split_gjson_segments(path: str) -> list[str]:
+    """Split a gjson path on top-level dots, keeping ``#(...)`` query
+    segments (whose conditions contain dots) intact."""
+    segs, depth, cur = [], 0, []
+    for ch in path:
+        if ch == "." and depth == 0:
+            segs.append("".join(cur))
+            cur = []
+        else:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            cur.append(ch)
+    segs.append("".join(cur))
+    return segs
+
+
+# Serialized arrays re-quote everything (from_json to array<string> reads
+# numbers as their text); bare numeric tokens are unquoted on the way out so
+# ``[1,2,3].@reverse`` round-trips as gjson prints it. A string element that
+# LOOKS numeric loses its quotes too — acceptable for the modifier subset.
+def _unquote_numbers(c: Column) -> Column:
+    return F.regexp_replace(c, r'"(-?\d+(?:\.\d+)?)"', r"$1")
+
+
+def _gjson_modifier(col, name: str) -> Column:
+    """gjson ``@modifier`` segments (tidwall/gjson README), JVM-side:
+    @this (identity), @reverse (array order), @keys / @values (object),
+    @flatten (one level of array nesting). Unknown modifiers pass the value
+    through unchanged — gjson's own behavior for unregistered modifiers."""
+    if name == "@this":
+        return col
+    if name == "@reverse":
+        return _unquote_numbers(
+            F.to_json(F.reverse(F.from_json(col, "array<string>")))
+        )
+    if name == "@keys":
+        return F.to_json(F.json_object_keys(col))
+    if name == "@values":
+        return _unquote_numbers(
+            F.to_json(F.map_values(F.from_json(col, "map<string,string>")))
+        )
+    if name == "@flatten":
+        return _unquote_numbers(
+            F.to_json(F.flatten(F.from_json(col, "array<array<string>>")))
+        )
+    return col
 
 
 # gjson query segment: <prefix>.#(<key><op><value>)[#][.<rest>]

@@ -223,3 +223,38 @@ def test_sample_frames_stub(spark):
     df = spark.createDataFrame([("v1", bytearray(b"fakevideo"))], "video_id string, bytes binary")
     out = sample_frames(df).collect()
     assert len(out) == 1 and "video_decode_unavailable" in out[0]["error"]
+
+
+def test_on_json_gjson_modifiers(spark):
+    """gjson `@modifier` segments (tidwall/gjson README: @reverse on
+    `children`, @keys/@values on objects, @this, @flatten) — JVM-side
+    from_json/to_json round-trips with numeric tokens unquoted on the way
+    out. Chaining continues after a modifier (`children.@reverse.0`)."""
+    doc = (
+        '{"name": {"first": "Tom", "last": "Anderson"}, '
+        '"children": ["Sara", "Alex", "Jack"], '
+        '"nums": [1, 2, 3], '
+        '"matrix": [[1, 2], [3, 4]]}'
+    )
+    df = spark.createDataFrame([(doc,)], "body_text string")
+    out = (
+        df.transform(on_json("children.@reverse", "m1"))
+        .transform(on_json("children.@reverse.0", "m2"))
+        .transform(on_json("name.@keys", "m3"))
+        .transform(on_json("name.@values", "m4"))
+        .transform(on_json("nums.@reverse", "m5"))
+        .transform(on_json("matrix.@flatten", "m6"))
+        .transform(on_json("name.@this.first", "m7"))
+        .transform(on_json("children.@reverse.#", "m8"))
+        .transform(on_json("children.@nosuchmodifier.0", "m9"))
+        .collect()[0]
+    )
+    assert out["m1"] == '["Jack","Alex","Sara"]'
+    assert out["m2"] == "Jack"
+    assert out["m3"] == '["first","last"]'
+    assert out["m4"] == '["Tom","Anderson"]'
+    assert out["m5"] == "[3,2,1]"
+    assert out["m6"] == "[1,2,3,4]"
+    assert out["m7"] == "Tom"  # @this = identity, chain continues
+    assert out["m8"] == "3"  # count after a modifier
+    assert out["m9"] == "Sara"  # unknown modifier passes through (gjson)
