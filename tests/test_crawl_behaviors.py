@@ -320,3 +320,29 @@ def test_resume_after_mid_wave_crash(spark, fx, tmp_path):
     assert (
         e2.store.fetch_log().where(F.col("url_hash") == 123456789).count() == 0
     )
+
+
+def test_metrics_totals_row_invariants(bfs_run):
+    """A1 lineage metrics: every committed wave carries exactly one totals
+    row (partition_id = -1) whose images_decoded was captured INSIDE the
+    results write action (Observation API) — so the totals must sum to the
+    actual results row count — and whose urls_scheduled matches the sum of
+    that wave's per-partition lineage rows."""
+    eng, _ = bfs_run
+    m = eng.store.read("metrics")
+    per_wave = (
+        m.groupBy("wave")
+        .agg(
+            F.sum(F.when(F.col("partition_id") == -1, 1).otherwise(0)).alias("totals_rows"),
+            F.sum(F.when(F.col("partition_id") == -1, F.col("images_decoded"))).alias("img_tot"),
+            F.sum(F.when(F.col("partition_id") == -1, F.col("urls_scheduled"))).alias("sched_tot"),
+            F.sum(F.when(F.col("partition_id") >= 0, F.col("urls_scheduled"))).alias("sched_parts"),
+        )
+        .collect()
+    )
+    assert per_wave, "no metrics rows"
+    for r in per_wave:
+        assert r["totals_rows"] == 1, f"wave {r['wave']}: {r['totals_rows']} totals rows"
+        assert r["sched_tot"] == r["sched_parts"], f"wave {r['wave']} scheduled mismatch"
+    images_total = sum(r["img_tot"] for r in per_wave)
+    assert images_total == eng.store.read("results").count()
