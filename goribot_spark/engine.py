@@ -1055,6 +1055,19 @@ class CrawlEngine:
         # driver references drop; session.py shortens periodicGC for that.
         return {"wave": wave, "done": False, **stats}
 
+    def compact(self, mode: str = "files", files_per_table: int = 8) -> dict:
+        """Fold the run's per-wave table directories into one base snapshot
+        per table (store.compact — the Iceberg compaction analog). Safe at
+        any wave boundary; the incremental pending/seen caches are dropped
+        because their lazy plans may still reference the pre-compaction
+        files (the next wave rebuilds them from the compacted tables)."""
+        out = self.store.compact(mode=mode, files_per_table=files_per_table)
+        self._pending = None
+        self._seen = None
+        if self.cfg.robots and self.cfg.fetch_mode == "live":
+            self.robots = self.store.read("robots_live")
+        return out
+
     # -- the driver loop (goribot.go:227-248) ------------------------------
 
     def refresh(self) -> None:

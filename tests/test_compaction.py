@@ -1,0 +1,200 @@
+"""Store compaction (the Iceberg rewrite_data_files / snapshot-expiry
+analog, store.py::CrawlStore.compact).
+
+A 10^10-frontier crawl runs thousands of waves; resume-time reads that list
+one directory per wave per table grow O(waves). Compaction folds committed
+waves into one ``base=<wave>`` snapshot per table behind the same atomic
+manifest commit a wave uses, so every read stays correct at every instant
+of the procedure. Covered here:
+
+  * ``mode="files"`` is lossless — pending set, fetch log, seen set,
+    results, metrics, and errors are row-identical across compaction, and
+    the per-wave dirs are gone;
+  * ``mode="state"`` collapses frontier/consumed to the pending set — a
+    crawl interrupted mid-run, compacted, and resumed by a FRESH session
+    produces exactly the results of an uninterrupted control crawl;
+  * the cookie jar (host_state latest-snapshot semantics) survives;
+  * sharded Bloom increments OR-merge to one row per shard and the crawl
+    still dedups byte-identically to the exact path;
+  * crash safety — stranded temp/base dirs from a died compaction are
+    swept on the next open and never become visible.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from goribot_spark.engine import CrawlConfig, CrawlEngine
+from goribot_spark.sources.store import CrawlStore
+
+from tests.conftest import crawl, engine_fetched_set, engine_items_set
+
+SEEDS = ["http://site0.test/p/0", "http://site1.test/p/0"]
+
+
+def _sorted_rows(df, cols=None):
+    cols = cols or sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    return sorted(rows, key=repr)  # repr-key: rows may hold None / map cols
+
+
+def _wave_dirs(run_dir, table):
+    tdir = os.path.join(str(run_dir), table)
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(d for d in os.listdir(tdir) if d.startswith("wave="))
+
+
+def test_compact_files_lossless(spark, fx, tmp_path):
+    eng = crawl(spark, fx, tmp_path / "run", SEEDS, retry_max=2, max_waves=16)
+    store = eng.store
+    before = {
+        "pending": _sorted_rows(store.pending_frontier()),
+        "fetch_log": _sorted_rows(store.fetch_log()),
+        "seen": _sorted_rows(store.seen()),
+        "results": _sorted_rows(store.read("results"), ["image_id", "src_url", "wave"]),
+        "errors": _sorted_rows(store.read("errors")),
+        "metrics": _sorted_rows(store.metrics_summary()),
+    }
+    done = eng.compact(mode="files")
+    assert done  # at least frontier/consumed/seen/results compacted
+    # every compacted table folded to a single base dir, wave dirs gone
+    for t, through in done.items():
+        if t == "bloom":
+            continue
+        assert _wave_dirs(tmp_path / "run", t) == []
+        assert os.path.isdir(os.path.join(str(tmp_path / "run"), t, f"base={through}"))
+    # a brand-new store (fresh manifest read, rollback sweep) sees identical state
+    s2 = CrawlStore(spark, str(tmp_path / "run"))
+    s2.rollback_uncommitted()
+    after = {
+        "pending": _sorted_rows(s2.pending_frontier()),
+        "fetch_log": _sorted_rows(s2.fetch_log()),
+        "seen": _sorted_rows(s2.seen()),
+        "results": _sorted_rows(s2.read("results"), ["image_id", "src_url", "wave"]),
+        "errors": _sorted_rows(s2.read("errors")),
+        "metrics": _sorted_rows(s2.metrics_summary()),
+    }
+    assert after == before
+
+
+def test_compact_state_resume_parity(spark, fx, tmp_path):
+    """Interrupt → state-compact → resume in a fresh session == control."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=16)
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.seed(SEEDS)
+    eng.run(max_waves=2)  # stop mid-crawl with a non-empty pending set
+    pending_before = _sorted_rows(eng.store.pending_frontier())
+    assert pending_before  # the scenario requires work left to do
+    # state mode drops consumed history — capture the pre-horizon fetch log
+    # NOW; post-resume it must concatenate with the post-horizon log into
+    # exactly the control's attempt multiset (nothing refetched, nothing lost)
+    log_before = _sorted_rows(eng.store.fetch_log(), ["url", "retry_count"])
+    done = eng.compact(mode="state")
+    assert done["frontier"] == done["consumed"]
+    pending_after = _sorted_rows(eng.store.pending_frontier())
+    assert pending_after == pending_before
+    # fresh session (the resume contract) finishes the crawl
+    eng2 = CrawlEngine(spark, fx, str(rd), cfg)
+    eng2.run()
+    log_after = _sorted_rows(eng2.store.fetch_log(), ["url", "retry_count"])
+    ctrl = crawl(spark, fx, tmp_path / "ctrl", SEEDS, retry_max=2, max_waves=16)
+    log_ctrl = _sorted_rows(ctrl.store.fetch_log(), ["url", "retry_count"])
+    assert sorted(log_before + log_after) == log_ctrl
+    assert engine_items_set(eng2) == engine_items_set(ctrl)
+
+
+def test_compact_preserves_cookie_jar(spark, fx, tmp_path):
+    """host_state keeps latest-snapshot semantics through compaction."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=4)
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.add_cookies_to_jar("http://site0.test/", {"sid": "abc123"})
+    eng.seed(SEEDS)
+    eng.run(max_waves=2)
+    jar_before = _sorted_rows(eng.store.host_state())
+    assert jar_before
+    eng.compact(mode="files")
+    assert _sorted_rows(eng.store.host_state()) == jar_before
+    s2 = CrawlStore(spark, str(rd))
+    assert s2.has_host_state()
+    assert _sorted_rows(s2.host_state()) == jar_before
+
+
+def test_compact_bloom_shards_merge(spark, fx, tmp_path):
+    """Sharded Bloom increments merge to ≤1 row per shard; dedup stays
+    byte-identical to the exact anti-join (fetched-set parity vs a
+    no-bloom control) when the crawl CONTINUES after compaction."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(
+        retry_max=2, max_waves=16, use_bloom=True, bloom_sharded=True, bloom_shards=8
+    )
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.seed(SEEDS)
+    eng.run(max_waves=2)
+    log_before = _sorted_rows(eng.store.fetch_log(), ["url", "retry_count"])
+    eng.compact(mode="state")
+    shards = eng.store.read("bloom_shards").collect()
+    assert len(shards) == len({r["shard"] for r in shards})  # one row per shard
+    eng.run()  # finish on the compacted store
+    log_after = _sorted_rows(eng.store.fetch_log(), ["url", "retry_count"])
+    ctrl = crawl(spark, fx, tmp_path / "ctrl", SEEDS, retry_max=2, max_waves=16)
+    log_ctrl = _sorted_rows(ctrl.store.fetch_log(), ["url", "retry_count"])
+    # byte-identical dedup across the compacted Bloom: the pre+post logs
+    # concatenate into exactly the no-bloom control's attempt multiset
+    assert sorted(log_before + log_after) == log_ctrl
+
+
+def test_compact_crash_leftovers_swept(spark, fx, tmp_path):
+    """A compaction that dies before the manifest commit leaves temp/base
+    dirs that are invisible to reads and swept on the next open."""
+    eng = crawl(spark, fx, tmp_path / "run", SEEDS, retry_max=2, max_waves=8)
+    store = eng.store
+    before = _sorted_rows(store.pending_frontier())
+    seen_before = _sorted_rows(store.seen())
+    # simulate the crash: stranded temp write + unpublished base dir
+    fdir = os.path.join(str(tmp_path / "run"), "frontier")
+    os.makedirs(os.path.join(fdir, ".base_tmp99"))
+    os.makedirs(os.path.join(fdir, "base=99"))
+    s2 = CrawlStore(spark, str(tmp_path / "run"))
+    # unpublished base is ignored even before the sweep
+    assert _sorted_rows(s2.pending_frontier()) == before
+    s2.rollback_uncommitted()
+    assert not os.path.isdir(os.path.join(fdir, ".base_tmp99"))
+    assert not os.path.isdir(os.path.join(fdir, "base=99"))
+    assert _sorted_rows(s2.seen()) == seen_before
+
+
+def test_compact_then_new_waves_union(spark, fx, tmp_path):
+    """Reads union the base snapshot with wave dirs committed after it."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=16)
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.seed(["http://site1.test/p/0"])
+    eng.run(max_waves=2)
+    eng.compact(mode="files")
+    n_results_mid = eng.store.read("results").count()
+    eng.run()  # post-compaction waves append next to the base
+    n_results_end = eng.store.read("results").count()
+    assert n_results_end > n_results_mid
+    # the old horizon is no longer snapshot-readable (expiry semantics)
+    with pytest.raises(ValueError):
+        eng.store.read("results", upto_wave=0)
+
+
+def test_recompact_idempotent(spark, fx, tmp_path):
+    """compact() with no new waves is a no-op; after new waves it re-folds."""
+    eng = crawl(spark, fx, tmp_path / "run", SEEDS, retry_max=2, max_waves=8)
+    first = eng.compact(mode="files")
+    assert first
+    assert eng.compact(mode="files") == {}
+    before = _sorted_rows(eng.store.seen())
+    # force one more wave by seeding a fresh URL, then re-compact
+    eng.seed(["http://site2.test/p/0"])
+    eng.run()
+    second = eng.compact(mode="files")
+    assert second and all(v > first["seen"] for k, v in second.items() if k == "seen")
+    assert len(_sorted_rows(eng.store.seen())) >= len(before)
