@@ -116,6 +116,12 @@ class CrawlConfig:
     # previous wave's admitted count; bounded by num_partitions.
     auto_shuffle_partitions: bool = True
     target_rows_per_partition: int = 500
+    # Fold committed wave dirs into one base snapshot per table every N
+    # waves (store.compact, mode="files" — lossless). 0 = never. A
+    # continuous (poll=True) crawl otherwise accumulates unbounded wave
+    # dirs that every resume/refresh re-lists; compaction bounds the
+    # store's directory count at ~N per table regardless of crawl length.
+    compact_every_waves: int = 0
     # Waves at or below this many scheduled rows rank their discovered links
     # on the single-partition fast path (ordering.with_global_rank) — same
     # deterministic seq, minus a range shuffle + persist + counts job that
@@ -1121,6 +1127,14 @@ class CrawlEngine:
             out.append(r)
             if not r.get("done"):
                 idle = 0
+                if (
+                    self.cfg.compact_every_waves
+                    and r["wave"] % self.cfg.compact_every_waves == 0
+                ):
+                    # lossless fold at a wave boundary — keeps a long
+                    # (continuous) crawl's store at O(compact_every_waves)
+                    # directories per table instead of O(total waves)
+                    self.compact(mode="files")
                 continue
             if not poll:
                 break

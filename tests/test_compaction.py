@@ -185,6 +185,27 @@ def test_compact_then_new_waves_union(spark, fx, tmp_path):
         eng.store.read("results", upto_wave=0)
 
 
+def test_auto_compaction_bounds_dirs(spark, fx, tmp_path):
+    """compact_every_waves folds the store as the crawl runs; the final
+    crawl is identical to an uncompacted control and the store never holds
+    more than ~compact_every_waves wave dirs per table."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=16, compact_every_waves=2)
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.seed(SEEDS)
+    eng.run()
+    ctrl = crawl(spark, fx, tmp_path / "ctrl", SEEDS, retry_max=2, max_waves=16)
+    # results/errors/metrics are verbatim under files mode → full parity
+    assert _sorted_rows(eng.store.read("results"), ["image_id", "src_url"]) == (
+        _sorted_rows(ctrl.store.read("results"), ["image_id", "src_url"])
+    )
+    assert _sorted_rows(eng.store.fetch_log(), ["url", "retry_count"]) == (
+        _sorted_rows(ctrl.store.fetch_log(), ["url", "retry_count"])
+    )
+    # the fold ran: at most compact_every_waves + 1 wave dirs remain
+    assert len(_wave_dirs(rd, "frontier")) <= cfg.compact_every_waves + 1
+
+
 def test_recompact_idempotent(spark, fx, tmp_path):
     """compact() with no new waves is a no-op; after new waves it re-folds."""
     eng = crawl(spark, fx, tmp_path / "run", SEEDS, retry_max=2, max_waves=8)
