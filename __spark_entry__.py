@@ -343,6 +343,24 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_canonical_corpus(spark, sf_dir):
+    """The dedup pipeline's actual deliverable: the corpus AFTER near-dup
+    removal — every document except non-canonical members of a near-dup
+    component (each component keeps its min doc_id; docs in no component
+    are all kept). Composition of minhash_lsh_pairs → connected components
+    → broadcast-able anti-join of the (small) drop set against documents:
+    at 100 TB the drop set is the only thing that moves, and the join key
+    is the table's primary key, so AQE turns it into a broadcast anti-join
+    whenever dup density is sane."""
+    d = _t(spark, sf_dir, "documents")
+    verified = minhash_near_dups(d, threshold=0.5, num_hashes=16, bands=4, shingle_n=3)
+    comp = connected_components(verified)
+    drop = comp.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
 def q_ann_lsh(spark, sf_dir):
     """ANN top-k via hyperplane-bucket equi-join over 2 independent tables
     (banded OR-construction — recall 1-(1-p^r)^b; buckets from deterministic
@@ -474,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_components": q_dedup_components,
+        "dedup_canonical_corpus": q_dedup_canonical_corpus,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "training_set": q_training_set,
@@ -637,6 +656,19 @@ reach as (
   select r.u, e.v from reach r join edges e on r.v = e.u where e.v <> r.u
 )
 select u doc_id, least(u, min(v)) component_id from reach group by u
+""",
+    1,
+)
+
+# The kept corpus after near-dup removal: components' final select becomes a
+# CTE; non-canonical members (doc_id <> component_id) anti-join away.
+_CANONICAL_CORPUS_SQL = _COMPONENTS_SQL.replace(
+    "select u doc_id, least(u, min(v)) component_id from reach group by u",
+    """, comps as (
+  select u doc_id, least(u, min(v)) component_id from reach group by u
+)
+select d.doc_id, d.source from documents d
+anti join (select doc_id from comps where doc_id <> component_id) x using (doc_id)
 """,
     1,
 )
@@ -999,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SIMHASH_PAIRS_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
         "dedup_components": _COMPONENTS_SQL,
+        "dedup_canonical_corpus": _CANONICAL_CORPUS_SQL,
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "training_set": _TRAINING_SET_SQL,
