@@ -287,6 +287,14 @@ class CrawlStore:
         ``files_per_table`` caps output files per table (coalesce) — sized
         for the sandbox; a cluster compaction would target Iceberg's file
         size instead. Returns {table: through_wave} of what was compacted.
+
+        Multi-session note: compaction is a coordinator action. Another
+        session holding the PRE-compaction manifest will try to read wave
+        dirs the post-commit cleanup deletes — the same hazard as an
+        Iceberg reader pinned to an expired snapshot. Run it from the
+        session that owns the crawl, at a wave boundary; concurrent
+        sessions recover with ``refresh()`` (a fresh manifest read sees the
+        base — test_compact_files_lossless's fresh-store assertions).
         """
         import numpy as np
         import pandas as pd
