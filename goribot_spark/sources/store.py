@@ -126,6 +126,14 @@ class CrawlStore:
                     shutil.rmtree(os.path.join(tdir, d))
                 elif d.startswith("base=") and int(d.split("=")[1]) != committed_base:
                     shutil.rmtree(os.path.join(tdir, d))
+        bdir = os.path.join(self.run_dir, "bloom")
+        if os.path.isdir(bdir):
+            bloom_base = self._base_through("bloom")
+            for fn in os.listdir(bdir):
+                stranded_tmp = fn.startswith(".base_tmp")
+                orphan_base = fn.startswith("base=") and fn != f"base={bloom_base}.npy"
+                if stranded_tmp or orphan_base:
+                    os.remove(os.path.join(bdir, fn))
 
     # -- IO ----------------------------------------------------------------
 

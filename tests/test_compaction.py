@@ -206,6 +206,29 @@ def test_auto_compaction_bounds_dirs(spark, fx, tmp_path):
     assert len(_wave_dirs(rd, "frontier")) <= cfg.compact_every_waves + 1
 
 
+def test_peer_compaction_refresh(spark, fx, tmp_path):
+    """Distributed interplay: a coordinator session compacts while a
+    crawling session holds the pre-compaction manifest; the crawler
+    refresh()es (the documented recovery, same as an Iceberg reader
+    re-pinning after snapshot expiry) and finishes identically to an
+    uninterrupted control."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=16)
+    eng_a = CrawlEngine(spark, fx, str(rd), cfg)
+    eng_a.seed(SEEDS)
+    eng_a.run(max_waves=2)
+    log_before = _sorted_rows(eng_a.store.fetch_log(), ["url", "retry_count"])
+    # coordinator session folds the store under A's feet
+    eng_b = CrawlEngine(spark, fx, str(rd), cfg)
+    eng_b.compact(mode="state")
+    eng_a.refresh()  # re-pin: fresh manifest, caches dropped
+    eng_a.run()
+    log_after = _sorted_rows(eng_a.store.fetch_log(), ["url", "retry_count"])
+    ctrl = crawl(spark, fx, tmp_path / "ctrl", SEEDS, retry_max=2, max_waves=16)
+    log_ctrl = _sorted_rows(ctrl.store.fetch_log(), ["url", "retry_count"])
+    assert sorted(log_before + log_after) == log_ctrl
+
+
 def test_recompact_idempotent(spark, fx, tmp_path):
     """compact() with no new waves is a no-op; after new waves it re-folds."""
     eng = crawl(spark, fx, tmp_path / "run", SEEDS, retry_max=2, max_waves=8)
