@@ -1061,13 +1061,18 @@ class CrawlEngine:
         # driver references drop; session.py shortens periodicGC for that.
         return {"wave": wave, "done": False, **stats}
 
-    def compact(self, mode: str = "files", files_per_table: int = 8) -> dict:
-        """Fold the run's per-wave table directories into one base snapshot
-        per table (store.compact — the Iceberg compaction analog). Safe at
-        any wave boundary; the incremental pending/seen caches are dropped
-        because their lazy plans may still reference the pre-compaction
-        files (the next wave rebuilds them from the compacted tables)."""
-        out = self.store.compact(mode=mode, files_per_table=files_per_table)
+    def compact(
+        self, mode: str = "files", files_per_table: int = 8, max_tiers: int = 8
+    ) -> dict:
+        """Fold the run's per-wave table directories into base snapshot
+        tiers (store.compact — the Iceberg compaction analog; incremental
+        per call, full merge every ``max_tiers`` folds). Safe at any wave
+        boundary; the incremental pending/seen caches are dropped because
+        their lazy plans may still reference the pre-compaction files (the
+        next wave rebuilds them from the compacted tables)."""
+        out = self.store.compact(
+            mode=mode, files_per_table=files_per_table, max_tiers=max_tiers
+        )
         self._pending = None
         self._seen = None
         if self.cfg.robots and self.cfg.fetch_mode == "live":
@@ -1129,6 +1134,7 @@ class CrawlEngine:
                 idle = 0
                 if (
                     self.cfg.compact_every_waves
+                    and r["wave"] > 0
                     and r["wave"] % self.cfg.compact_every_waves == 0
                 ):
                     # lossless fold at a wave boundary — keeps a long

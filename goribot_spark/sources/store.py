@@ -93,14 +93,67 @@ class CrawlStore:
         """Atomically publish wave ``wave``: temp-write manifest then rename."""
         self.manifest["waves"].append({"wave": wave, **stats})
         self.manifest["driver_state"] = driver_state
+        self._publish_manifest()
+
+    def _publish_manifest(self) -> None:
+        """Atomic manifest replace — with a concurrent-committer merge.
+
+        The manifest is read-modify-write: between this session's last
+        load and this publish, a PEER session sharing the run_dir may have
+        committed a wave or seeds (the distributed contract,
+        manager.go:14-16). Writing our in-memory copy verbatim would drop
+        that wave from the manifest and the next rollback_uncommitted
+        would delete its data dirs — permanent loss (Iceberg solves this
+        with optimistic-retry commits against the catalog; this is the
+        sandbox equivalent). So before the replace, re-read the on-disk
+        manifest and fold it in: union the wave list by wave number (our
+        entry wins a number collision — colliding wave numbers are a
+        seed-race both sides' data dirs survive), take the per-table max
+        of the compaction horizons, and take whichever driver_state has
+        advanced seq_base further (seq ranges are allocated at seed time,
+        so the larger base supersedes the smaller).
+        """
+        self._merge_from_disk()
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)
 
+    def _merge_from_disk(self) -> None:
+        disk = self._load_manifest()
+        ours = {w["wave"] for w in self.manifest["waves"]}
+        peer = [w for w in disk.get("waves", []) if w["wave"] not in ours]
+        if peer:
+            self.manifest["waves"] = sorted(
+                self.manifest["waves"] + peer, key=lambda w: w["wave"]
+            )
+        for t, through in disk.get("bases", {}).items():
+            mine = self.manifest.setdefault("bases", {})
+            if int(through) > int(mine.get(t, -1)):
+                mine[t] = int(through)
+                # adopt the peer's tier layout wholesale for this table —
+                # its fold superseded whatever layout we believed in
+                if t in disk.get("tiers", {}):
+                    self.manifest.setdefault("tiers", {})[t] = disk["tiers"][t]
+        if int(disk.get("driver_state", {}).get("seq_base", 0)) > int(
+            self.manifest.get("driver_state", {}).get("seq_base", 0)
+        ):
+            self.manifest["driver_state"] = disk["driver_state"]
+
     def _base_through(self, table: str) -> int:
         """Wave through which ``table`` has been compacted (-1 = never)."""
         return int(self.manifest.get("bases", {}).get(table, -1))
+
+    def _tiers(self, table: str) -> list[int]:
+        """Committed compaction tiers for ``table``, oldest→newest. Each
+        tier ``base=<w>`` holds the fold of waves in (previous tier, w] —
+        the LSM-style incremental layout; a manifest from before tiering
+        (single ``bases`` entry) reads as one tier."""
+        ts = self.manifest.get("tiers", {}).get(table)
+        if ts is not None:
+            return [int(t) for t in ts]
+        through = self._base_through(table)
+        return [through] if through >= 0 else []
 
     def _base_dir(self, table: str, through: int) -> str:
         return os.path.join(self.run_dir, table, f"base={through}")
@@ -115,6 +168,7 @@ class CrawlStore:
             if not os.path.isdir(tdir):
                 continue
             committed_base = self._base_through(t)
+            tiers = set(self._tiers(t))
             for d in os.listdir(tdir):
                 if d.startswith("wave=") and not (
                     committed_base < int(d.split("=")[1]) <= last
@@ -124,15 +178,24 @@ class CrawlStore:
                     shutil.rmtree(os.path.join(tdir, d))
                 elif d.startswith(".base_tmp"):
                     shutil.rmtree(os.path.join(tdir, d))
-                elif d.startswith("base=") and int(d.split("=")[1]) != committed_base:
+                elif d.startswith("base=") and int(d.split("=")[1]) not in tiers:
                     shutil.rmtree(os.path.join(tdir, d))
         bdir = os.path.join(self.run_dir, "bloom")
         if os.path.isdir(bdir):
             bloom_base = self._base_through("bloom")
+            bloom_tiers = {f"base={t}.npy" for t in self._tiers("bloom")}
             for fn in os.listdir(bdir):
                 stranded_tmp = fn.startswith(".base_tmp")
-                orphan_base = fn.startswith("base=") and fn != f"base={bloom_base}.npy"
-                if stranded_tmp or orphan_base:
+                orphan_base = fn.startswith("base=") and fn not in bloom_tiers
+                # a crash between the manifest publish and the bloom
+                # post-commit cleanup strands per-wave increments at/below
+                # the folded horizon — reads already ignore them
+                # (load_bloom_union filters w > horizon); sweep the files
+                stale_wave = (
+                    fn.startswith("wave=")
+                    and int(fn.split("=")[1].split(".")[0]) <= bloom_base
+                )
+                if stranded_tmp or orphan_base or stale_wave:
                     os.remove(os.path.join(bdir, fn))
 
     # -- IO ----------------------------------------------------------------
@@ -162,9 +225,11 @@ class CrawlStore:
             raise ValueError(
                 f"{table}: wave {upto} predates the compaction horizon {through}"
             )
-        dirs = []
-        if through >= 0 and os.path.isdir(self._base_dir(table, through)):
-            dirs.append(self._base_dir(table, through))
+        dirs = [
+            self._base_dir(table, t)
+            for t in self._tiers(table)
+            if os.path.isdir(self._base_dir(table, t))
+        ]
         dirs += [
             self._wave_dir(table, w)
             for w in self.committed_waves()
@@ -213,8 +278,10 @@ class CrawlStore:
         """True iff any committed wave wrote a host_state snapshot — an O(1)
         filesystem probe so crawls where no page ever set a cookie skip the
         jar join entirely (no per-wave plan cost for an empty state)."""
-        through = self._base_through("host_state")
-        if through >= 0 and os.path.isdir(self._base_dir("host_state", through)):
+        if any(
+            os.path.isdir(self._base_dir("host_state", t))
+            for t in self._tiers("host_state")
+        ):
             return True
         return any(
             os.path.isdir(self._wave_dir("host_state", w))
@@ -229,12 +296,15 @@ class CrawlStore:
         through = self._base_through("host_state")
         for w in sorted(self.committed_waves(), reverse=True):
             if w <= through:
-                break  # anything at/below the horizon lives in the base
+                break  # anything at/below the horizon lives in a base tier
             d = self._wave_dir("host_state", w)
             if os.path.isdir(d):
                 return self.spark.read.parquet(d)
-        if through >= 0 and os.path.isdir(self._base_dir("host_state", through)):
-            return self.spark.read.parquet(self._base_dir("host_state", through))
+        # newest tier holding a snapshot wins (older tiers are superseded
+        # history a later full merge sweeps)
+        for t in sorted(self._tiers("host_state"), reverse=True):
+            if os.path.isdir(self._base_dir("host_state", t)):
+                return self.spark.read.parquet(self._base_dir("host_state", t))
         return self.spark.createDataFrame([], schemas.HOST_STATE)
 
     def wave_path(self, table: str, wave: int) -> str:
@@ -261,9 +331,11 @@ class CrawlStore:
 
         through = self._base_through("bloom")
         out = None
-        base = os.path.join(self.run_dir, "bloom", f"base={through}.npy")
-        if through >= 0 and os.path.exists(base):
-            out = np.load(base)
+        for t in self._tiers("bloom"):
+            base = os.path.join(self.run_dir, "bloom", f"base={t}.npy")
+            if os.path.exists(base):
+                b = np.load(base)
+                out = b if out is None else np.bitwise_or(out, b)
         for w in self.committed_waves():
             p = self.bloom_path(w)
             if w > through and os.path.exists(p):
@@ -273,62 +345,109 @@ class CrawlStore:
 
     # -- compaction (Iceberg rewrite_data_files / snapshot-expiry analog) ---
 
-    def compact(self, mode: str = "files", files_per_table: int = 8) -> dict:
-        """Fold every committed wave directory into one ``base=<last_wave>``
-        snapshot per table. Reads stay correct at every point: the new base
-        is written to a temp dir, renamed into place, and only the atomic
-        manifest replace publishes it — a crash anywhere before that leaves
-        the old snapshot authoritative (stranded temp/base dirs are swept by
+    def _read_wave_range(self, table: str, lo: int, hi: int) -> DataFrame | None:
+        """Union of the committed wave dirs with lo < wave <= hi, bases
+        excluded — the incremental-fold input. None if no dirs exist."""
+        dirs = [
+            self._wave_dir(table, w)
+            for w in self.committed_waves()
+            if lo < w <= hi and os.path.isdir(self._wave_dir(table, w))
+        ]
+        return self.spark.read.parquet(*dirs) if dirs else None
+
+    def compact(
+        self,
+        mode: str = "files",
+        files_per_table: int = 8,
+        max_tiers: int = 8,
+    ) -> dict:
+        """Fold committed wave directories into ``base=<wave>`` snapshot
+        tiers. Reads stay correct at every point: each new base is written
+        to a temp dir, renamed into place, and only the atomic manifest
+        replace publishes it — a crash anywhere before that leaves the old
+        snapshot authoritative (stranded temp/base dirs are swept by
         ``rollback_uncommitted`` on the next open).
 
-        ``mode="files"`` is lossless (every table verbatim, fewer dirs/files
-        — Iceberg's rewrite_data_files). ``mode="state"`` additionally
-        collapses the frontier/consumed log pair into the pending set and
-        drops consumed history (the positional-delete compaction + snapshot
-        expiry analog): ``pending_frontier()`` and all forward semantics are
-        unchanged, but ``fetch_log()`` no longer covers waves at or below
-        the horizon. Either way ``bloom_shards`` rows OR-merge to one row
-        per shard and the single-bitmap ``bloom`` increments OR-merge to one
-        array — the probe unions increments anyway, so merged state is
-        semantically identical.
+        ``mode="files"`` is lossless AND incremental: only the wave dirs
+        ABOVE the current horizon fold into a new tier (O(delta) I/O per
+        fold, like Iceberg's rewrite_data_files binpacking new small files
+        — not an O(total-rows) rewrite of accumulated history every call,
+        which would cost O(W²/N) over a long continuous crawl). Tiers
+        accumulate LSM-style until a fold would exceed ``max_tiers``, at
+        which point everything merges into one base — so resume-time reads
+        list O(max_tiers + compact_every_waves) dirs per table and the
+        cumulative fold I/O is O(W²/(N·max_tiers)) in full merges plus
+        O(W) in incremental folds.
 
-        ``files_per_table`` caps output files per table (coalesce) — sized
+        ``mode="state"`` is always a FULL fold that additionally collapses
+        the frontier/consumed log pair into the pending set and drops
+        consumed history (the positional-delete compaction + snapshot
+        expiry analog): ``pending_frontier()`` and all forward semantics
+        are unchanged, but ``fetch_log()`` no longer covers waves at or
+        below the horizon. Either way ``bloom_shards`` rows OR-merge to one
+        row per shard per tier and the single-bitmap ``bloom`` increments
+        OR-merge to one array per tier — the probe unions increments
+        anyway, so merged state is semantically identical.
+
+        ``files_per_table`` caps output files per fold (coalesce) — sized
         for the sandbox; a cluster compaction would target Iceberg's file
         size instead. Returns {table: through_wave} of what was compacted.
 
-        Multi-session note: compaction is a coordinator action. Another
-        session holding the PRE-compaction manifest will try to read wave
-        dirs the post-commit cleanup deletes — the same hazard as an
-        Iceberg reader pinned to an expired snapshot. Run it from the
-        session that owns the crawl, at a wave boundary; concurrent
-        sessions recover with ``refresh()`` (a fresh manifest read sees the
-        base — test_compact_files_lossless's fresh-store assertions).
+        Multi-session note: compaction is a coordinator action, but it is
+        safe against concurrent COMMITTERS — it first merges the on-disk
+        manifest (peer waves fold in or stay above the horizon) and its
+        publish goes through the same merging ``_publish_manifest`` as a
+        wave commit, so a peer's wave can never be dropped from the
+        manifest. A peer session still HOLDING the pre-compaction manifest
+        will try to read wave dirs the post-commit cleanup deletes — the
+        same hazard as an Iceberg reader pinned to an expired snapshot;
+        such sessions recover with ``refresh()`` (a fresh manifest read
+        sees the bases — test_compact_files_lossless's fresh-store
+        assertions, test_compact_peer_commit_survives).
         """
         import numpy as np
         import pandas as pd
 
         if mode not in ("files", "state"):
             raise ValueError(f"unknown compaction mode {mode!r}")
+        # fold in peer-committed waves FIRST so `through` covers them and
+        # nothing a peer published gets orphaned below the horizon
+        self._merge_from_disk()
         through = self.last_wave()
         if through < 0:
             return {}
         bases = dict(self.manifest.get("bases", {}))
+        tiers = {t: list(self._tiers(t)) for t in list(TABLES) + ["bloom"]}
         done: dict[str, int] = {}
         renames: list[tuple[str, str]] = []
+
+        def _or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = None
+            for b in pdf["bits"]:
+                a = np.frombuffer(b, dtype=np.uint8)
+                bits = a.copy() if bits is None else np.bitwise_or(bits, a)
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]}
+            )
+
         for t in TABLES:
-            if bases.get(t, -1) == through:
+            horizon = int(bases.get(t, -1))
+            if horizon == through:
                 continue  # already compacted through the newest wave
             tdir = os.path.join(self.run_dir, t)
             if not os.path.isdir(tdir):
                 continue
-            has_rows = any(
-                d.startswith(("wave=", "base=")) for d in os.listdir(tdir)
-            )
-            if not has_rows:
+            if not any(d.startswith(("wave=", "base=")) for d in os.listdir(tdir)):
                 continue
+            full = mode == "state" or len(tiers[t]) + 1 > max_tiers
             if t == "host_state":
-                # state table: the newest snapshot is the whole truth
-                df = self.host_state()
+                # state table: the newest snapshot is the whole truth; an
+                # incremental fold writes it only if a post-horizon wave
+                # refreshed it (else the existing tiers already hold it)
+                if full or self._read_wave_range(t, horizon, through) is not None:
+                    df = self.host_state()
+                else:
+                    df = None
             elif t == "consumed" and mode == "state":
                 df = None  # collapses into the pending-only frontier base
             elif t == "frontier" and mode == "state":
@@ -336,37 +455,54 @@ class CrawlStore:
             elif t == "seen" and mode == "state":
                 df = self.read(t).distinct()
             elif t == "bloom_shards":
-                shards = self.read(t)
-
-                def _or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-                    bits = None
-                    for b in pdf["bits"]:
-                        a = np.frombuffer(b, dtype=np.uint8)
-                        bits = a.copy() if bits is None else np.bitwise_or(bits, a)
-                    return pd.DataFrame(
-                        {"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]}
-                    )
-
-                df = shards.groupBy("shard").applyInPandas(
-                    _or_merge, "shard int, bits binary"
+                shards = (
+                    self.read(t) if full else self._read_wave_range(t, horizon, through)
                 )
+                df = None
+                if shards is not None:
+                    df = shards.groupBy("shard").applyInPandas(
+                        _or_merge, "shard int, bits binary"
+                    )
             else:
-                df = self.read(t)
+                df = self.read(t) if full else self._read_wave_range(t, horizon, through)
+            if df is None and mode == "files":
+                # no rows above the horizon — advance it without a new tier
+                bases[t] = through
+                continue
             tmp = os.path.join(tdir, f".base_tmp{through}")
             if df is not None:
                 df.coalesce(files_per_table).write.mode("overwrite").parquet(tmp)
                 renames.append((tmp, self._base_dir(t, through)))
+                tiers[t] = [through] if full else tiers[t] + [through]
+            else:  # state-mode collapse with no surviving rows
+                tiers[t] = [through]
             bases[t] = through
             done[t] = through
         # single-bitmap bloom increments (outside TABLES — .npy lifecycle)
-        bloom_union = self.load_bloom_union()
-        if bloom_union is not None and bases.get("bloom", -1) != through:
-            bdir = os.path.join(self.run_dir, "bloom")
-            tmp_npy = os.path.join(bdir, f".base_tmp{through}.npy")
-            np.save(tmp_npy, bloom_union)
-            renames.append((tmp_npy, os.path.join(bdir, f"base={through}.npy")))
-            bases["bloom"] = through
-            done["bloom"] = through
+        bloom_horizon = int(bases.get("bloom", -1))
+        if bloom_horizon != through:
+            bloom_full = mode == "state" or len(tiers["bloom"]) + 1 > max_tiers
+            if bloom_full:
+                bloom_union = self.load_bloom_union()
+            else:
+                bloom_union = None
+                for w in self.committed_waves():
+                    p = self.bloom_path(w)
+                    if bloom_horizon < w <= through and os.path.exists(p):
+                        b = np.load(p)
+                        bloom_union = (
+                            b if bloom_union is None else np.bitwise_or(bloom_union, b)
+                        )
+            if bloom_union is not None:
+                bdir = os.path.join(self.run_dir, "bloom")
+                tmp_npy = os.path.join(bdir, f".base_tmp{through}.npy")
+                np.save(tmp_npy, bloom_union)
+                renames.append((tmp_npy, os.path.join(bdir, f"base={through}.npy")))
+                tiers["bloom"] = (
+                    [through] if bloom_full else tiers["bloom"] + [through]
+                )
+                bases["bloom"] = through
+                done["bloom"] = through
         if not done:
             return {}
         for tmp, final in renames:
@@ -376,25 +512,31 @@ class CrawlStore:
         # the commit point: until this rename lands, every new path above is
         # unpublished garbage that rollback_uncommitted would sweep
         self.manifest["bases"] = bases
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self.manifest["tiers"] = {
+            t: ts for t, ts in tiers.items() if ts
+        }
+        self._publish_manifest()
         # post-commit cleanup — crash-safe: read()/host_state()/
         # load_bloom_union ignore anything at or below the horizon, and the
         # next rollback_uncommitted sweeps whatever this loop doesn't reach
         for t in done:
             if t == "bloom":
                 bdir = os.path.join(self.run_dir, "bloom")
+                keep = {f"base={w}.npy" for w in tiers["bloom"]}
                 for fn in os.listdir(bdir):
-                    keep = fn == f"base={through}.npy"
-                    if not keep and (fn.startswith("wave=") or fn.startswith("base=")):
+                    stale_wave = (
+                        fn.startswith("wave=")
+                        and int(fn.split("=")[1].split(".")[0]) <= through
+                    )
+                    stale_base = fn.startswith("base=") and fn not in keep
+                    if stale_wave or stale_base:
                         os.remove(os.path.join(bdir, fn))
                 continue
             tdir = os.path.join(self.run_dir, t)
+            keep = {f"base={w}" for w in tiers[t]}
             for d in os.listdir(tdir):
                 stale_wave = d.startswith("wave=") and int(d.split("=")[1]) <= through
-                stale_base = d.startswith("base=") and int(d.split("=")[1]) != through
+                stale_base = d.startswith("base=") and d not in keep
                 if stale_wave or stale_base:
                     shutil.rmtree(os.path.join(tdir, d))
         return done

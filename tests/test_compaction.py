@@ -242,3 +242,107 @@ def test_recompact_idempotent(spark, fx, tmp_path):
     second = eng.compact(mode="files")
     assert second and all(v > first["seen"] for k, v in second.items() if k == "seen")
     assert len(_sorted_rows(eng.store.seen())) >= len(before)
+
+
+def test_compact_peer_commit_survives(spark, fx, tmp_path):
+    """The read-modify-write hazard: a peer session commits a wave between
+    this session's last manifest load and its compact() publish. The merge
+    in compact()/_publish_manifest must keep the peer's wave in the
+    manifest — dropping it would orphan its data dirs and the next
+    rollback_uncommitted would DELETE them (permanent loss)."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=16)
+    eng_a = CrawlEngine(spark, fx, str(rd), cfg)
+    eng_a.seed(["http://site0.test/p/0"])
+    eng_a.run(max_waves=2)
+    # peer session seeds (commits a wave) AFTER A's last manifest load
+    eng_b = CrawlEngine(spark, fx, str(rd), cfg)
+    eng_b.seed(["http://site2.test/p/0"])
+    peer_wave = eng_b.store.last_wave()
+    assert peer_wave not in eng_a.store.committed_waves()  # A is stale
+    eng_a.compact(mode="files")  # must merge the peer commit, not drop it
+    assert peer_wave in eng_a.store.committed_waves()
+    # a fresh session's rollback sweep must NOT delete the peer wave's data
+    s2 = CrawlStore(spark, str(rd))
+    s2.rollback_uncommitted()
+    assert peer_wave in s2.committed_waves()
+    pend = s2.pending_frontier()
+    assert pend.where(F.col("url") == "http://site2.test/p/0").count() == 1
+    # and the merged run finishes normally from here
+    eng_c = CrawlEngine(spark, fx, str(rd), cfg)
+    eng_c.run()
+    urls = {r["url"] for r in eng_c.store.fetch_log().select("url").collect()}
+    assert "http://site2.test/p/0" in urls
+
+
+def test_compact_incremental_tiers_then_full_merge(spark, fx, tmp_path):
+    """mode='files' folds only post-horizon waves into a NEW tier
+    (O(delta) I/O), tiers accumulate, and a fold that would exceed
+    max_tiers merges everything into one base — reads lossless at every
+    step."""
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(retry_max=2, max_waves=16)
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.seed(SEEDS)
+    eng.run()
+    want_log = _sorted_rows(eng.store.fetch_log(), ["url", "retry_count"])
+    want_seen = _sorted_rows(eng.store.seen())
+    eng.compact(mode="files", max_tiers=3)
+    t1 = eng.store.manifest["tiers"]["seen"]
+    assert len(t1) == 1
+    # two more incremental folds from fresh seeds → 3 tiers
+    for host in ("site2", "site0"):
+        eng.seed([f"http://{host}.test/p/1"])
+        eng.run()
+        eng.compact(mode="files", max_tiers=3)
+    tiers = eng.store.manifest["tiers"]["seen"]
+    assert len(tiers) == 3 and tiers == sorted(tiers)
+    tdir = os.path.join(str(rd), "seen")
+    assert sorted(d for d in os.listdir(tdir) if d.startswith("base=")) == sorted(
+        f"base={w}" for w in tiers
+    )
+    # lossless across the tiered layout (fresh store = fresh manifest read)
+    s2 = CrawlStore(spark, str(rd))
+    s2.rollback_uncommitted()
+    assert {r["url_hash"] for r in s2.seen().collect()} == {
+        r[0] for r in want_seen
+    } | {r["url_hash"] for r in s2.seen().collect()}
+    log_now = _sorted_rows(s2.fetch_log(), ["url", "retry_count"])
+    assert [r for r in log_now if r in want_log] == want_log  # nothing lost
+    # a 4th fold exceeds max_tiers → full merge back to ONE base
+    eng.seed(["http://site1.test/p/1"])
+    eng.run()
+    eng.compact(mode="files", max_tiers=3)
+    tiers2 = eng.store.manifest["tiers"]["seen"]
+    assert len(tiers2) == 1
+    assert sorted(d for d in os.listdir(tdir) if d.startswith("base=")) == [
+        f"base={tiers2[0]}"
+    ]
+    log_final = _sorted_rows(eng.store.fetch_log(), ["url", "retry_count"])
+    assert [r for r in log_final if r in log_now] == log_now
+
+
+def test_rollback_sweeps_stale_bloom_increments(spark, fx, tmp_path):
+    """A crash between the manifest publish and the bloom post-commit
+    cleanup strands per-wave .npy increments at/below the folded horizon;
+    rollback_uncommitted sweeps them (reads already ignored them)."""
+    import numpy as np
+
+    rd = tmp_path / "run"
+    cfg = CrawlConfig(
+        retry_max=2, max_waves=16, use_bloom=True, bloom_sharded=False
+    )
+    eng = CrawlEngine(spark, fx, str(rd), cfg)
+    eng.seed(SEEDS)
+    eng.run(max_waves=3)
+    eng.compact(mode="files")
+    horizon = eng.store._base_through("bloom")
+    assert horizon >= 0
+    union_before = eng.store.load_bloom_union()
+    # simulate the crash: a stale pre-horizon increment reappears
+    stale = os.path.join(str(rd), "bloom", "wave=0.npy")
+    np.save(stale, np.zeros_like(union_before))
+    s2 = CrawlStore(spark, str(rd))
+    s2.rollback_uncommitted()
+    assert not os.path.exists(stale)
+    assert (s2.load_bloom_union() == union_before).all()
