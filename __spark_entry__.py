@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from goribot_spark.functions.dedup import (
     LSH_BUCKET_CAP,
+    LSH_CHAIN_SEG,
     connected_components,
     exact_dup_groups,
     minhash_near_dups,
@@ -590,9 +591,12 @@ where a.doc_id < b.doc_id
 # key = comma-joined 4-slice of the signature. Docs with NO shingles (< n tokens)
 # are excluded before banding — their all-null signatures would otherwise
 # collapse into one degenerate '' band bucket — and band buckets holding
-# more than LSH_BUCKET_CAP docs degrade to star candidates against the
-# bucket-min rep (dedup._split_buckets); candidates join per (band, key).
-_MINHASH_LSH_SQL = """
+# more than LSH_BUCKET_CAP docs degrade to star + salted-chain candidates
+# against the bucket-min rep (dedup._split_buckets: the chain splits into
+# ceil(n/chain_seg) md5-salted sub-chains linked by seam edges between the
+# per-salt min ids, so no Spark window task owns a mega-bucket — replicated
+# here exactly); candidates join per (band, key).
+_MINHASH_LSH_TEMPLATE = """
 with toks as (select doc_id, {toks} w from documents),
 sh as (
   select doc_id, case when len(w) < 3 then [] else {shingles} end s
@@ -606,13 +610,27 @@ sig as (
      for i in generate_series(0, 15)] sig
   from sh where len(s) > 0
 ),
-bands as (
+bands0 as (
   select doc_id, b.b band_id,
     array_to_string([sig[b.b * 4 + r] for r in generate_series(1, 4)], ',') band_key,
     count(*) over (partition by b.b, band_key) _cnt,
-    min(doc_id) over (partition by b.b, band_key) _rep,
-    lag(doc_id) over (partition by b.b, band_key order by doc_id) _prev
+    min(doc_id) over (partition by b.b, band_key) _rep
   from sig cross join (select unnest(generate_series(0, 3)) b) b
+),
+bands as (
+  select doc_id, band_id, band_key, _cnt, _rep,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      % greatest(1, ceil(_cnt / {seg}.0))::BIGINT _salt,
+    lag(doc_id) over (partition by band_id, band_key, _salt order by doc_id) _prev
+  from bands0
+),
+seams as (
+  select least(_psr, _sr) id_a, greatest(_psr, _sr) id_b from (
+    select min(doc_id) _sr,
+      lag(min(doc_id)) over (partition by band_id, band_key order by _salt) _psr
+    from bands where _cnt > {cap}
+    group by band_id, band_key, _salt
+  ) where _psr is not null
 ),
 cand as (
   select a.doc_id id_a, b.doc_id id_b
@@ -622,6 +640,8 @@ cand as (
   select _rep, doc_id from bands where _cnt > {cap} and doc_id != _rep
   union
   select _prev, doc_id from bands where _cnt > {cap} and _prev is not null
+  union
+  select id_a, id_b from seams
 ),
 j as (
   select id_a, id_b,
@@ -633,7 +653,10 @@ j as (
   join sh sb on sb.doc_id = id_b
 )
 select id_a, id_b, jaccard from j where jaccard >= 0.5
-""".format(toks=_TOKS, shingles=_SHINGLES, cap=LSH_BUCKET_CAP)
+"""
+_MINHASH_LSH_SQL = _MINHASH_LSH_TEMPLATE.format(
+    toks=_TOKS, shingles=_SHINGLES, cap=LSH_BUCKET_CAP, seg=LSH_CHAIN_SEG
+)
 
 # Connected components over the exact same verified pair set: recursive
 # transitive closure (fine at oracle scale; the Spark side uses the
@@ -726,14 +749,27 @@ _SIMHASH_PAIRS_SQL = (
     "with "
     + _SIMHASH_CORE
     + f"""
-, bands as (
+, bands0 as (
   select doc_id, uv, b.b band_id, (uv >> (16 * b.b)) & 65535 band_val,
     count(*) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _cnt,
-    min(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _rep,
-    lag(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535
-                      order by doc_id) _prev
+    min(doc_id) over (partition by b.b, (uv >> (16 * b.b)) & 65535) _rep
   from full_sim cross join (select unnest(generate_series(0, 3)) b) b
   where uv != 0
+),
+bands as (
+  select doc_id, uv, band_id, band_val, _cnt, _rep,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      % greatest(1, ceil(_cnt / {LSH_CHAIN_SEG}.0))::BIGINT _salt,
+    lag(doc_id) over (partition by band_id, band_val, _salt order by doc_id) _prev
+  from bands0
+),
+seams as (
+  select least(_psr, _sr) id_a, greatest(_psr, _sr) id_b from (
+    select min(doc_id) _sr,
+      lag(min(doc_id)) over (partition by band_id, band_val order by _salt) _psr
+    from bands where _cnt > {LSH_BUCKET_CAP}
+    group by band_id, band_val, _salt
+  ) where _psr is not null
 ),
 cand as (
   select a.doc_id id_a, b.doc_id id_b
@@ -744,6 +780,8 @@ cand as (
   union
   select _prev, doc_id from bands
   where _cnt > {LSH_BUCKET_CAP} and _prev is not null
+  union
+  select id_a, id_b from seams
 )
 select distinct id_a, id_b, bit_count(xor(fa.uv, fb.uv))::INT hamming
 from cand
@@ -805,12 +843,26 @@ _NEARDUP_LSH_SQL = (
     "with "
     + _LSH_BUCKET_CTE
     + """
-, bk as (
+, bk0 as (
   select vec_id, table_id, bucket,
     count(*) over (partition by table_id, bucket) _cnt,
-    min(vec_id) over (partition by table_id, bucket) _rep,
-    lag(vec_id) over (partition by table_id, bucket order by vec_id) _prev
+    min(vec_id) over (partition by table_id, bucket) _rep
   from buck
+),
+bk as (
+  select vec_id, table_id, bucket, _cnt, _rep,
+    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+      % greatest(1, ceil(_cnt / 4096.0))::BIGINT _salt,
+    lag(vec_id) over (partition by table_id, bucket, _salt order by vec_id) _prev
+  from bk0
+),
+seams as (
+  select least(_psr, _sr) id_a, greatest(_psr, _sr) id_b from (
+    select min(vec_id) _sr,
+      lag(min(vec_id)) over (partition by table_id, bucket order by _salt) _psr
+    from bk where _cnt > 1024
+    group by table_id, bucket, _salt
+  ) where _psr is not null
 ),
 cand as (
   select a.vec_id id_a, b.vec_id id_b
@@ -820,6 +872,8 @@ cand as (
   select _rep, vec_id from bk where _cnt > 1024 and vec_id != _rep
   union
   select _prev, vec_id from bk where _cnt > 1024 and _prev is not null
+  union
+  select id_a, id_b from seams
 )
 select id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) sim
 from cand join e ea on ea.vec_id = id_a join e eb on eb.vec_id = id_b
@@ -1064,12 +1118,26 @@ def oracle_sql() -> dict[str, str]:
               select doc_id, md5(array_to_string({_TOKS}[1:8], ' ')) fp8
               from documents where length(trim(text)) > 0
             ),
-            g as (
+            g0 as (
               select doc_id, fp8,
                 count(*) over (partition by fp8) _cnt,
-                min(doc_id) over (partition by fp8) _rep,
-                lag(doc_id) over (partition by fp8 order by doc_id) _prev
+                min(doc_id) over (partition by fp8) _rep
               from p
+            ),
+            g as (
+              select doc_id, fp8, _cnt, _rep,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % greatest(1, ceil(_cnt / {LSH_CHAIN_SEG}.0))::BIGINT _salt,
+                lag(doc_id) over (partition by fp8, _salt order by doc_id) _prev
+              from g0
+            ),
+            seams as (
+              select least(_psr, _sr) id_a, greatest(_psr, _sr) id_b from (
+                select min(doc_id) _sr,
+                  lag(min(doc_id)) over (partition by fp8 order by _salt) _psr
+                from g where _cnt > {LSH_BUCKET_CAP}
+                group by fp8, _salt
+              ) where _psr is not null
             )
             select a.doc_id id_a, b.doc_id id_b, 0::INT hamming
             from g a join g b on a.fp8 = b.fp8 and a.doc_id < b.doc_id
@@ -1080,5 +1148,7 @@ def oracle_sql() -> dict[str, str]:
             union
             select _prev, doc_id, 0::INT
             from g where _cnt > {LSH_BUCKET_CAP} and _prev is not null
+            union
+            select id_a, id_b, 0::INT from seams
         """,
     }

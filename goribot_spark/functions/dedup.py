@@ -33,9 +33,22 @@ from goribot_spark.functions.text import (
 # over-cap key and representative lists broadcast.
 LSH_BUCKET_CAP = 64
 
+# Rows a single chain-window task may own. Over-cap buckets degrade to
+# linear star+chain candidates (_split_buckets); the chain is a lag window
+# per bucket, and an UNSALTED window puts a billion-row degenerate bucket in
+# ONE task — the last serial stage in the dedup family at the 100 TB
+# posture (r4 verdict ask #1). Salting splits each over-cap bucket into
+# ceil(n/seg) hash-salted sub-chains linked at the seams, so no task owns
+# more than ~seg rows while the bucket's candidate subgraph stays connected.
+LSH_CHAIN_SEG = 4096
+
 
 def _split_buckets(
-    banded: DataFrame, key_cols: list[str], cap: int | None, id_col: str = "id"
+    banded: DataFrame,
+    key_cols: list[str],
+    cap: int | None,
+    id_col: str = "id",
+    chain_seg: int = LSH_CHAIN_SEG,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Bound every band/bucket's candidate cost WITHOUT losing mega-groups.
 
@@ -54,6 +67,15 @@ def _split_buckets(
         fails the exact verify against them (similarity is not transitive
         at threshold boundaries; star-only candidates silently lost every
         member<->member pair in that case — r3 verdict finding #1).
+
+    The chain is SALTED: each over-cap bucket splits into
+    ceil(n/chain_seg) sub-chains by pmod(md5_long(id), n_sub), each a lag
+    window over (bucket, salt) — so a degenerate billion-row bucket never
+    lands in one window task — and the sub-chains are linked at the seams
+    by chaining the per-salt min ids in salt order (≤ n_sub seam rows per
+    bucket, a trivial window). Seam edges are ordinary chain edges: they
+    face the same verify as any member<->member pair, so connectivity
+    degrades no differently than the unsalted chain did.
 
     Together they make the candidate subgraph over each over-cap bucket
     connected, so component-level clustering survives a bad rep; the raw
@@ -81,10 +103,18 @@ def _split_buckets(
         banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > cap)
-        .select(*key_cols)
     )
-    kept = banded.join(F.broadcast(over), key_cols, "left_anti")
-    heavy = banded.join(F.broadcast(over), key_cols, "left_semi")
+    kept = banded.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
+    # inner join carries _n so the salt fan-out scales with the bucket;
+    # the salt hash is md5_long (not xxhash64) so the DuckDB oracle twin
+    # reproduces the exact sub-chain assignment at any scale
+    heavy = banded.join(F.broadcast(over), key_cols).withColumn(
+        "_salt",
+        F.pmod(
+            md5_long(F.col(id_col).cast("string")),
+            F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(chain_seg))),
+        ).cast("int"),
+    )
     reps = heavy.groupBy(*key_cols).agg(F.min(id_col).alias("_rep"))
     stars = (
         heavy.join(F.broadcast(reps), key_cols)
@@ -93,13 +123,25 @@ def _split_buckets(
     )
     from pyspark.sql import Window
 
-    wchain = Window.partitionBy(*key_cols).orderBy(id_col)
+    wchain = Window.partitionBy(*key_cols, "_salt").orderBy(id_col)
     chain = (
         heavy.withColumn("_prev", F.lag(id_col).over(wchain))
         .where(F.col("_prev").isNotNull())
         .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    return kept, stars.unionByName(chain).distinct()
+    # seam edges: chain the per-salt min ids in salt order so the salted
+    # sub-chains stay one connected subgraph per bucket
+    subreps = heavy.groupBy(*key_cols, "_salt").agg(F.min(id_col).alias("_sr"))
+    wseam = Window.partitionBy(*key_cols).orderBy("_salt")
+    seams = (
+        subreps.withColumn("_prev", F.lag("_sr").over(wseam))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.least("_prev", "_sr").alias("id_a"),
+            F.greatest("_prev", "_sr").alias("id_b"),
+        )
+    )
+    return kept, stars.unionByName(chain).unionByName(seams).distinct()
 
 
 # -- exact dedup ------------------------------------------------------------
@@ -208,7 +250,11 @@ def _signature_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def _banded_pairs(
-    sigd: DataFrame, num_hashes: int, bands: int, bucket_cap: int | None
+    sigd: DataFrame,
+    num_hashes: int,
+    bands: int,
+    bucket_cap: int | None,
+    chain_seg: int = LSH_CHAIN_SEG,
 ) -> DataFrame:
     """(id_a, id_b) distinct candidate pairs from a (id, sig) frame: drop
     all-null signatures (docs with no shingles — the degenerate '' band key
@@ -239,7 +285,9 @@ def _banded_pairs(
         )
         .select("id", "bk.band_id", "bk.band_key")
     )
-    banded, stars = _split_buckets(banded, ["band_id", "band_key"], bucket_cap)
+    banded, stars = _split_buckets(
+        banded, ["band_id", "band_key"], bucket_cap, chain_seg=chain_seg
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -260,6 +308,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    chain_seg: int = LSH_CHAIN_SEG,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, self-join on
     (band_id, band_key). Only (id, band, key) rows shuffle; pair explosion is
@@ -269,7 +318,7 @@ def lsh_candidate_pairs(
     sigd = _signature_from_shingles(
         shingle_sets(df, id_col, text_col, shingle_n), num_hashes
     )
-    return _banded_pairs(sigd, num_hashes, bands, bucket_cap)
+    return _banded_pairs(sigd, num_hashes, bands, bucket_cap, chain_seg=chain_seg)
 
 
 def ngram_jaccard(
@@ -313,6 +362,7 @@ def minhash_near_dups(
     bands: int = 4,
     shingle_n: int = 3,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    chain_seg: int = LSH_CHAIN_SEG,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard → threshold.
 
@@ -332,7 +382,7 @@ def minhash_near_dups(
         .persist()
     )
     sigd = _signature_from_shingles(sh, num_hashes)
-    pairs = _banded_pairs(sigd, num_hashes, bands, bucket_cap)
+    pairs = _banded_pairs(sigd, num_hashes, bands, bucket_cap, chain_seg=chain_seg)
     return ngram_jaccard_from_shingles(sh, pairs).where(F.col("jaccard") >= threshold)
 
 
@@ -397,6 +447,7 @@ def hamming_near_dups(
     max_hamming: int = 3,
     bucket_cap: int | None = LSH_BUCKET_CAP,
     exclude_zero: bool = True,
+    chain_seg: int = LSH_CHAIN_SEG,
 ) -> DataFrame:
     """Banded hamming near-dup pairs over ANY 64-bit hash column — text
     SimHash or image perceptual hash (the image-payload analog: two crawled
@@ -432,7 +483,9 @@ def hamming_near_dups(
             )
         ).alias("bk"),
     ).select("id", "_h", "bk.band_id", "bk.band_val")
-    banded, stars = _split_buckets(banded, ["band_id", "band_val"], bucket_cap)
+    banded, stars = _split_buckets(
+        banded, ["band_id", "band_val"], bucket_cap, chain_seg=chain_seg
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

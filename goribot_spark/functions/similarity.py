@@ -369,6 +369,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     num_tables: int = 2,
     bucket_cap: int | None = EMB_BUCKET_CAP,
+    chain_seg: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
     exact cosine verify. Candidates come from ``num_tables`` independent
@@ -388,7 +389,8 @@ def embedding_near_dups(
         emb.select(F.col(id_col).alias("id"), vec_col), dim, num_planes, vec_col,
         num_tables,
     ).select("id", "table_id", "bucket")
-    keyed, stars = _split_buckets(keyed, ["table_id", "bucket"], bucket_cap)
+    seg = {} if chain_seg is None else {"chain_seg": chain_seg}
+    keyed, stars = _split_buckets(keyed, ["table_id", "bucket"], bucket_cap, **seg)
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["table_id", "bucket"])

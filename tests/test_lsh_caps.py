@@ -226,3 +226,87 @@ def test_star_chain_rep_outlier_recovery(spark):
     comp = connected_components(pairs)
     labels = {r["node"]: r["comp"] for r in comp.collect()}
     assert {labels[i] for i in range(1, 10)} == {1}
+
+
+def test_salted_subchain_splits_mega_bucket(spark):
+    """r4-verdict ask #1: the chain leg must not put an over-cap bucket in
+    ONE window task. With chain_seg ≪ n the chain window partitions by
+    (bucket, salt) — multiple sub-chains — linked at the seams, and the
+    component structure is identical to the unsalted chain."""
+    from goribot_spark.functions.dedup import _split_buckets, connected_components
+
+    n = 400
+    banded = spark.createDataFrame(
+        [(i, 0, "megabucket") for i in range(n)], "id long, band_id int, band_key string"
+    )
+    kept_u, pairs_unsalted = _split_buckets(
+        banded, ["band_id", "band_key"], cap=10, chain_seg=10**9
+    )
+    kept_s, pairs_salted = _split_buckets(
+        banded, ["band_id", "band_key"], cap=10, chain_seg=32
+    )
+    assert kept_u.count() == 0 and kept_s.count() == 0
+    # structural: the salted chain's window partitions by the salt column —
+    # ceil(400/32)=13 sub-chains instead of one 400-row task
+    plan = pairs_salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+    n_salts = (
+        pairs_salted.sparkSession.createDataFrame(
+            [(i,) for i in range(n)], "id long"
+        )
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(max(1, -(-n // 32)))).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1  # the salt genuinely fans out for this id set
+    # identical component structure: every member in one component, both ways
+    for pairs in (pairs_unsalted, pairs_salted):
+        comp = connected_components(pairs)
+        labels = {r["node"]: r["comp"] for r in comp.collect()}
+        assert set(labels) == set(range(n))
+        assert len(set(labels.values())) == 1
+    # sub-quadratic contract holds: O(n) candidates, not C(n,2)
+    assert pairs_salted.count() < 3 * n
+
+
+def test_salted_chain_duckdb_parity_multisalt(spark):
+    """Bit-exact oracle parity IN the multi-salt regime: a 300-doc verbatim
+    mass with cap=10, chain_seg=16 (→ 19 sub-chains per bucket). The DuckDB
+    twin replicates the md5 salt + sub-chain + seam math, so the verified
+    pair set matches exactly — the same guarantee the sf0.01 gate gives at
+    n_sub=1, extended to the regime where the salt actually fans out."""
+    import duckdb
+
+    from __spark_entry__ import _MINHASH_LSH_TEMPLATE, _SHINGLES, _TOKS
+    from goribot_spark.functions.dedup import minhash_near_dups
+
+    mass = "terms of service apply to all users of this site please read"
+    uniq = "completely unrelated text about {} rivers mountains and valleys"
+    rows = [(i, mass) for i in range(300)]
+    rows += [(1000 + k, uniq.format(k)) for k in range(5)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+
+    got = minhash_near_dups(
+        df, threshold=0.5, num_hashes=16, bands=4, shingle_n=3,
+        bucket_cap=10, chain_seg=16,
+    )
+    spark_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = _MINHASH_LSH_TEMPLATE.format(toks=_TOKS, shingles=_SHINGLES, cap=10, seg=16)
+    oracle_pairs = {(int(a), int(b)) for a, b, _ in con.execute(sql).fetchall()}
+    assert spark_pairs == oracle_pairs
+    assert len(spark_pairs) > 300  # star(299) + chains + seams, sub-quadratic
+    assert len(spark_pairs) < 1200
+
+    # sanity: this corpus IS in the multi-salt regime — the unsalted chain
+    # (huge seg) produces a different candidate set
+    unsalted = minhash_near_dups(
+        df, threshold=0.5, num_hashes=16, bands=4, shingle_n=3,
+        bucket_cap=10, chain_seg=10**9,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in unsalted.collect()} != spark_pairs
