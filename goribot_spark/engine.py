@@ -46,6 +46,14 @@ from goribot_spark.operators.politeness import salt_and_partition, select_wave
 from goribot_spark.sources.store import CrawlStore
 
 
+def _nfiles_for(rows: int, sp: int, rows_per_file: int = 250_000) -> int:
+    """Output-file count for a table write: one file per ~rows_per_file
+    rows, capped at the wave's partition budget — big writes stay parallel,
+    drain-tail writes collapse to one file (no per-core file explosion in
+    the re-read tables)."""
+    return min(sp, max(1, -(-rows // rows_per_file)))
+
+
 @dataclass
 class CrawlConfig:
     rules: list[LimitRule] = field(default_factory=list)
@@ -416,11 +424,15 @@ class CrawlEngine:
         df = apply_max_req(df, remaining, ["priority", "discovery_epoch", "seq"])
         df = df.drop("rule_id").persist()
         n = df.count()
+        # Mass re-seeding (replaying a 10^8-row frontier through seed_frame)
+        # is a documented 10^10-scale path — size the write like a wave
+        # commit instead of funneling it through one task (r4 verdict #4).
+        nf = _nfiles_for(n, self.cfg.num_partitions)
         self.store.write(
-            "frontier", wave, df.select(*schemas.FRONTIER.fieldNames()).coalesce(1)
+            "frontier", wave, df.select(*schemas.FRONTIER.fieldNames()).coalesce(nf)
         )
         if self.cfg.dedup:
-            self.store.write("seen", wave, df.select("url_hash").coalesce(1))
+            self.store.write("seen", wave, df.select("url_hash").coalesce(nf))
             self._bloom_commit(wave, df)
         admitted_per_rule = {
             row["rule_id"]: row["n"]
@@ -883,8 +895,8 @@ class CrawlEngine:
         # File counts sized from the (now known) row counts: enough tasks to
         # keep big writes parallel, 1 file on the drain tail — the re-read
         # tables never accumulate per-core file explosions either way.
-        def _nfiles(rows: int, rows_per_file: int = 250_000) -> int:
-            return min(sp, max(1, -(-rows // rows_per_file)))
+        def _nfiles(rows: int) -> int:
+            return _nfiles_for(rows, sp)
 
         host_state_write = None
         if use_jar and wave_has_cookies:

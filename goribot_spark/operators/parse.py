@@ -40,6 +40,87 @@ PARSED = StructType(
 _CHARSET_RE = re.compile(r"charset=([\w\-]+)", re.I)
 _META_CHARSET_RE = re.compile(rb"<meta[^>]+charset=[\"']?([\w\-]+)", re.I)
 
+# Undeclared-legacy-charset candidates, tried strict and scored (see
+# _sniff_legacy). Order is the deterministic tie-break.
+_LEGACY_CODECS = ("gbk", "big5", "shift_jis", "euc_kr", "cp1252")
+
+# Frequency coherence (the public uchardet/chardet technique, shrunk to a
+# literal set): GBK bytes of Chinese text strict-decode as EUC-KR too (both
+# are EUC-style A1-FE grids), landing on RANDOM hangul — and vice versa. A
+# correct decode concentrates on the language's most frequent characters;
+# a cross-decode is uniform over the grid. Top-frequency Chinese chars and
+# Korean syllables (standard published frequency lists) break the tie.
+_COMMON_CJK = frozenset(
+    "的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出而要于"
+    "就下得可你年生自会那后能对着事其里所去行过家十用发天如然作方成者多"
+    "日都三小军二无同么经法当起与好看学进种将还分此心前面又定见只主没公"
+    "从年使经动两长把万其来电文化工新想平美间再提直题党程展五果料象员革"
+)
+_COMMON_HANGUL = frozenset(
+    "이다의에는을가하고지서한로기도를수있사대부정상시자제소인그나것들스"
+    "시면으어해보게되우주년만적연리성국중날래전개만무주과니까지요네저희"
+)
+
+
+def _legacy_score(text: str, codec: str) -> float:
+    """Plausibility of ``text`` being a correct decode for ``codec`` — a
+    byte-distribution/script-range heuristic standing in for chardet
+    (net.go:202-206): chars land in the codec's native script (kana for
+    Shift-JIS, hangul for EUC-KR, common-URO CJK for GBK/Big5, accented
+    latin for cp1252) score positive; rare blocks a WRONG decode scatters
+    into (CJK Ext-A, PUA, compatibility ideographs, stray C1 controls)
+    score negative. Linear in length, fully deterministic."""
+    s = 0.0
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x80:
+            continue
+        if 0x3040 <= cp <= 0x30FF:  # hiragana / katakana
+            s += 3.0 if codec == "shift_jis" else -1.0
+        elif 0xAC00 <= cp <= 0xD7A3:  # hangul syllables
+            if codec == "euc_kr":
+                s += 4.0 if ch in _COMMON_HANGUL else 1.5
+            else:
+                s -= 1.0
+        elif 0x4E00 <= cp <= 0x9FA5:  # CJK (URO)
+            if codec in ("gbk", "big5"):
+                s += 4.0 if ch in _COMMON_CJK else 1.5
+            elif codec == "shift_jis":
+                s += 2.0 if ch in _COMMON_CJK else 1.0
+            else:
+                s += 1.0
+        elif 0xFF61 <= cp <= 0xFF9F:
+            s -= 0.5  # halfwidth katakana: typical GBK-as-SJIS misdecode
+        elif 0x3000 <= cp <= 0x303F or 0xFF00 <= cp <= 0xFFEF:
+            s += 0.5  # CJK punctuation / fullwidth forms
+        elif codec == "cp1252" and (0x00C0 <= cp <= 0x00FF or 0x2013 <= cp <= 0x201E):
+            s += 1.0  # accented latin / smart punctuation
+        elif 0x3400 <= cp <= 0x4DBF or 0xE000 <= cp <= 0xFAFF:
+            s -= 2.0  # Ext-A / PUA / compat ideographs: wrong-codec noise
+        elif cp < 0xA0:
+            s -= 1.0  # stray C1 controls
+        else:
+            s -= 0.25
+    return s
+
+
+def _sniff_legacy(body: bytes) -> str:
+    """Decode undeclared non-UTF-8 bytes: strict-decode each legacy
+    candidate, keep the highest-scoring plausible text (first candidate
+    wins ties — deterministic). latin-1 is the never-fails floor."""
+    best_text, best_score = None, float("-inf")
+    for codec in _LEGACY_CODECS:
+        try:
+            text = body.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        sc = _legacy_score(text, codec)
+        if sc > best_score:
+            best_text, best_score = text, sc
+    if best_text is not None:
+        return best_text
+    return body.decode("latin-1")
+
 
 def _decode_text(body: bytes, ctype: str, forced: str | None = None) -> str:
     """Charset resolution mirroring net.go:199-206 (forced encoding, else
@@ -47,9 +128,11 @@ def _decode_text(body: bytes, ctype: str, forced: str | None = None) -> str:
     (Request.ResponseCharacterEncoding, net.go:94 — honored ahead of
     everything at net.go:199-201; carried as the ``charset`` meta key here)
     → declared charset → BOM → <meta charset> sniff in the first 1 KiB →
-    strict-UTF-8 try → GBK try → permissive UTF-8. Covers the reference's
-    own detection test corpus (GBK pages without a charset declaration,
-    net_test.go:82-92) without a chardet dependency."""
+    strict-UTF-8 try → scored legacy sniff (_sniff_legacy: GBK / Big5 /
+    Shift-JIS / EUC-KR / cp1252, latin-1 floor). Covers the reference's own
+    detection test corpus (GBK pages without a charset declaration,
+    net_test.go:82-92) plus the undeclared Shift-JIS/Big5/EUC-KR/legacy-
+    latin pages chardet would catch, without a chardet dependency."""
     if forced:
         try:
             return body.decode(forced, errors="replace")
@@ -73,10 +156,7 @@ def _decode_text(body: bytes, ctype: str, forced: str | None = None) -> str:
     try:
         return body.decode("utf-8")
     except UnicodeDecodeError:
-        try:
-            return body.decode("gbk")
-        except UnicodeDecodeError:
-            return body.decode("utf-8", errors="replace")
+        return _sniff_legacy(body)
 
 
 class _Extractor(HTMLParser):

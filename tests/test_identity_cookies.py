@@ -205,3 +205,34 @@ def test_fixture_undeclared_gbk_page_parses(spark, fx):
         assert r["parse_error"] is None
         assert r["links"] == list(r["want"])
         assert "中文页" in r["title"]
+
+
+def test_charset_detection_undeclared_legacy_multilang():
+    """r4 verdict missing #1 (net.go:202-206 chardet parity): undeclared
+    Shift-JIS, Big5, EUC-KR, and cp1252 (legacy-latin) pages all decode
+    correctly via the scored legacy sniff — same contract as the GBK test,
+    across the encodings a multilingual crawl actually hits."""
+    cases = {
+        "shift_jis": ("日本語のページです", "リンク"),
+        "big5": ("這是中文網頁標題", "連結"),
+        "euc_kr": ("한국어 웹 페이지", "링크"),
+        "cp1252": ("Café — déjà vu, naïveté", "lien préféré"),
+    }
+    for enc, (title_txt, link_txt) in cases.items():
+        body = (
+            f"<html><head><title>{title_txt}</title></head><body>"
+            f'<a href="/p/1">{link_txt}</a></body></html>'
+        ).encode(enc)
+        links, _imgs, _alts, title, err = _parse_one(body, "text/html")
+        assert err is None, (enc, err)
+        assert title == title_txt, (enc, title)
+        assert links == ["/p/1"], (enc, links)
+
+
+def test_charset_sniff_gbk_still_wins_over_cp1252():
+    """The scored sniff must not regress the original GBK case: dense CJK
+    bytes decode as GBK (score ~2/char) even though cp1252 never fails."""
+    body = "纯中文无标点内容页面测试字符集探测逻辑".encode("gbk")
+    from goribot_spark.operators.parse import _sniff_legacy
+
+    assert _sniff_legacy(body) == "纯中文无标点内容页面测试字符集探测逻辑"

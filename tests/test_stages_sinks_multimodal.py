@@ -258,3 +258,34 @@ def test_on_json_gjson_modifiers(spark):
     assert out["m7"] == "Tom"  # @this = identity, chain continues
     assert out["m8"] == "3"  # count after a modifier
     assert out["m9"] == "Sara"  # unknown modifier passes through (gjson)
+
+
+def test_on_json_gjson_modifier_type_fidelity(spark):
+    """r4 verdict 'what's wrong' #1: numeric-LOOKING string elements (IDs,
+    zip codes) must keep their quotes through modifiers, true numbers must
+    stay unquoted, and nested objects must come back as real JSON — exactly
+    as gjson prints them (elements round-trip via VARIANT, no regex
+    unquoting)."""
+    doc = (
+        '{"ids": ["01", "2x", "3"], "zips": ["1", "2"], '
+        '"mixed": [1, "2", 3.5, {"a": 1}], '
+        '"objarr": [{"x": 1}, {"y": "2"}], '
+        '"obj": {"a": "1", "b": 2, "c": {"d": "03"}}, '
+        '"deep": [["1", 2], [3, "04"]]}'
+    )
+    df = spark.createDataFrame([(doc,)], "body_text string")
+    out = (
+        df.transform(on_json("ids.@reverse", "m1"))
+        .transform(on_json("zips.@reverse", "m2"))
+        .transform(on_json("mixed.@reverse", "m3"))
+        .transform(on_json("objarr.@reverse", "m4"))
+        .transform(on_json("obj.@values", "m5"))
+        .transform(on_json("deep.@flatten", "m6"))
+        .collect()[0]
+    )
+    assert out["m1"] == '["3","2x","01"]'
+    assert out["m2"] == '["2","1"]'
+    assert out["m3"] == '[{"a":1},3.5,"2",1]'
+    assert out["m4"] == '[{"y":"2"},{"x":1}]'
+    assert out["m5"] == '["1",2,{"d":"03"}]'
+    assert out["m6"] == '["1",2,3,"04"]'
