@@ -168,41 +168,35 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 1
     double-hash md5_long(shingle) + i·(md5_long('s:'+shingle) mod 2^55)
     (Kirsch-Mitzenmacher). Portable (same value in DuckDB).
 
-    Shape: explode distinct shingles once, hash each (i, shingle) pair, min
-    per doc. Building the shingle array inside one nested projection per
-    hash looks cheaper but Catalyst's projection collapse inlines the
-    tokenize+slice+concat pipeline ``num_hashes`` times (measured 16x
-    slowdown); the explode/groupBy form evaluates shingles once, keeps every
-    expression scalar for codegen, and is the shuffle pattern that scales —
-    only (id, shingle-hash) rows move, never texts. Docs with < n tokens get
-    an all-null signature (empty shingle set), matching array_min([]) = null.
+    Shape: MAP-ONLY (same as _signature_from_shingles) — h1/h2 hash arrays
+    computed once per shingle behind a lazy local checkpoint (which bounds
+    Catalyst's projection collapse: without the boundary the
+    tokenize+slice+concat shingle build would inline into every transform,
+    the measured 16x blowup of the naive nested-projection form), then
+    sig_i = array_min(zip_with(h1, h2, a + i·b)). No exchange at all — the
+    old explode → repartition → groupBy-min shape shuffled an (id, hash)
+    row per (doc, shingle), which at corpus scale is the dominant wire cost
+    of the signature stage. Docs with < n tokens get an all-null signature
+    (empty shingle set → array_min([]) = null).
 
-    With ``id_col`` set, the group key (and output) is just the id — texts
-    never enter the shuffle; otherwise all input columns are carried.
-    """
+    With ``id_col`` set only the id is carried next to the hash arrays;
+    otherwise all input columns ride along (they never leave the executor
+    either way). A small input is repartitioned to defaultParallelism first
+    so one parquet file can't pin the hash stage to 1-2 tasks; at corpus
+    scale the scan supplies the parallelism and the exchange is one
+    (id, text) pass."""
     other_cols = [id_col] if id_col else [c for c in df.columns]
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, *other_cols)
     # Token array bound in its own projection BEFORE the shingle lambda —
     # see shingles_from_tokens: an inline tokens() re-splits the whole text
     # per shingle inside the interpreted higher-order function.
     toked = df.select(*other_cols, tokens(F.col(text_col)).alias("_toks"))
     sh = toked.select(
         *other_cols,
-        F.explode_outer(
-            F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
-        ).alias("_shingle"),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("sh"),
     )
-    # Repartition the exploded rows BEFORE aggregating: partial aggregation
-    # evaluates the hash expressions map-side, so on a small input (one
-    # parquet file → 1-2 partitions) the whole hash stage would run on one
-    # core. The exchange moves only (id, shingle) rows — the documented
-    # shuffle pattern — and at corpus scale the scan supplies the
-    # parallelism anyway.
-    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, *other_cols)
-    agg = sh.groupBy(*other_cols).agg(*_minhash_mins(F.col("_shingle"), num_hashes))
-    return agg.select(
-        *other_cols,
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    sig = _signature_from_shingles(sh, num_hashes, key_cols=other_cols)
+    return sig
 
 
 def shingle_sets(
@@ -228,24 +222,37 @@ def shingle_sets(
 _H2_MOD = 1 << 55
 
 
-def _minhash_mins(shingle_col, num_hashes: int):
-    h1 = md5_long(shingle_col)
-    h2 = md5_long(F.concat(F.lit("s:"), shingle_col)) % F.lit(_H2_MOD)
-    return [
-        F.min(
-            F.when(shingle_col.isNotNull(), h1 + F.lit(i) * h2)
-        ).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-
-
-def _signature_from_shingles(sh_df: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, sig) from a (id, sh) shingle frame: explode once, double-hash
-    each shingle, min per doc — only (id, hash) rows shuffle."""
-    ex = sh_df.select("id", F.explode_outer("sh").alias("_shingle"))
-    mins = _minhash_mins(F.col("_shingle"), num_hashes)
-    return ex.groupBy("id").agg(*mins).select(
-        "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+def _signature_from_shingles(
+    sh_df: DataFrame, num_hashes: int, key_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, sig) from a (id, sh) shingle frame — MAP-ONLY, zero exchange:
+    the two Kirsch-Mitzenmacher base hashes are computed once per shingle
+    into h1/h2 arrays, then sig_i = array_min(zip_with(h1, h2, a + i·b)).
+    Replaces the explode → shuffle → groupBy-min shape: at corpus scale the
+    signature stage costs one scan plus local checkpoint writes instead of
+    exchanging an (id, hash) row per (doc, shingle). The checkpoint between
+    the hash projection and the 16-min projection bounds Catalyst's
+    projection collapse — without it the upstream shingle build would
+    inline into every transform (the measured 16x blowup the old docstring
+    warned about), and blocks GC-clean with the RDD. Output is bit-equal
+    to the explode path (same md5 math; empty shingle set → array_min of
+    [] → all-null sig, matching the degenerate-doc contract)."""
+    keys = key_cols if key_cols is not None else ["id"]
+    withh = sh_df.select(
+        *keys,
+        F.transform("sh", md5_long).alias("_h1"),
+        F.transform(
+            "sh", lambda x: md5_long(F.concat(F.lit("s:"), x)) % F.lit(_H2_MOD)
+        ).alias("_h2"),
+    ).localCheckpoint(eager=False)
+    return withh.select(
+        *keys,
+        F.array(
+            *[
+                F.array_min(F.zip_with("_h1", "_h2", lambda a, b: a + F.lit(i) * b))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -552,6 +559,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: ``(node, comp)`` where
     ``comp`` is the minimum id of the node's connected component.
@@ -584,6 +592,14 @@ def connected_components(
     ``max_iter`` bounds the loop regardless — exhausting it without a stable
     signature means the labels may not be fully contracted, so that raises a
     ``RuntimeWarning`` instead of silently returning.
+
+    Edge lists at or under ``driver_max_edges`` (decided from the already
+    materialized checkpoint's count) skip the contraction for a driver-side
+    union-find — a size-adaptive physical plan, same idea as AQE swapping a
+    shuffle join for a broadcast: the label computation is microseconds at
+    that size while each probed contraction round costs a full Spark job.
+    ``driver_max_edges=0`` forces the distributed path (used by tests and
+    available for pipelines that must never collect).
     """
     import warnings
     # Eager checkpoint of the INPUT edges: the pair generator upstream (a
@@ -600,6 +616,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size-adaptive plan (the AQE-broadcast analog, decided from the now
+    # materialized edge count — a metadata read, not a job): a verified
+    # near-dup edge list under driver_max_edges longs (~3 MB) is
+    # config-scale, and the distributed contraction's per-round jobs are
+    # pure scheduling overhead for it (measured ~1 s/probe round at sf0.1
+    # for a 252-edge graph). Driver union-find labels it in microseconds;
+    # corpus-scale edge lists take the O(log^2 n)-round contraction below.
+    if e.count() <= driver_max_edges:
+        rows = e.collect()
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            ru, rv = _find(r_["u"]), _find(r_["v"])
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)  # min-root union
+        labels = [(n, _find(n)) for n in list(parent)]
+        return pairs.sparkSession.createDataFrame(labels, "node long, comp long")
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     prev_sig = None
     converged = False

@@ -46,9 +46,9 @@ def _union_find(edges):
     return comp
 
 
-def _run(spark, edges):
+def _run(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(df)
+    out = connected_components(df, **kw)
     return {r["node"]: r["comp"] for r in out.collect()}
 
 
@@ -96,3 +96,20 @@ def test_components_on_real_lsh_pairs(spark):
         for r in dedup_component_summary(comp).collect()
     }
     assert summary == {c: n for c, n in sizes.items() if n > 1}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The size-adaptive driver union-find (default for small edge lists)
+    and the star-contraction (forced via driver_max_edges=0) must label
+    identically — same graphs as the parity test plus a long path."""
+    rng = random.Random(99)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = [e for e in edges if e[0] != e[1]]
+    expect = _union_find(edges)
+    assert _run(spark, edges) == expect                        # driver path
+    assert _run(spark, edges, driver_max_edges=0) == expect    # distributed
+    ids = list(range(500, 564))
+    rng.shuffle(ids)
+    path = list(zip(ids, ids[1:]))
+    assert _run(spark, path) == {i: 500 for i in ids}
+    assert _run(spark, path, driver_max_edges=0) == {i: 500 for i in ids}
