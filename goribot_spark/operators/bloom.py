@@ -156,18 +156,16 @@ def build_bloom_shards(
     )
 
 
-def dedup_with_bloom_shards(
+def flag_with_bloom_shards(
     cand: DataFrame,
-    seen: DataFrame,
     shards: DataFrame,
     n_shards: int = DEFAULT_NUM_SHARDS,
     shard_bits: int = DEFAULT_NUM_BITS // DEFAULT_NUM_SHARDS,
 ) -> DataFrame:
-    """Sharded Bloom-pruned exact dedup — output identical to a plain
-    left_anti against seen. ``shards`` is the (shard, bits) table (several
-    rows per shard across wave increments are OR-ed inside the probe task).
-    A shard absent from the table holds no seen keys, so its candidates are
-    definitely new."""
+    """The probe alone: cand plus a ``_maybe`` flag — True if the shard's
+    filter says maybe-seen (exact anti-join still required), False if
+    definitely new. Split out of dedup_with_bloom_shards so diagnostics
+    (scripts/bloom_bench.py) can count the reduction the filter buys."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     c = cand.withColumn("_shard", shard_of(F.col("url_hash"), n_shards))
@@ -189,12 +187,27 @@ def dedup_with_bloom_shards(
             maybe &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
         return left.assign(_maybe=maybe)
 
-    flagged = (
+    return (
         c.groupBy("_shard")
         .cogroup(shards.groupBy("shard"))
         .applyInPandas(probe, out_schema)
         .drop("_shard")
     )
+
+
+def dedup_with_bloom_shards(
+    cand: DataFrame,
+    seen: DataFrame,
+    shards: DataFrame,
+    n_shards: int = DEFAULT_NUM_SHARDS,
+    shard_bits: int = DEFAULT_NUM_BITS // DEFAULT_NUM_SHARDS,
+) -> DataFrame:
+    """Sharded Bloom-pruned exact dedup — output identical to a plain
+    left_anti against seen. ``shards`` is the (shard, bits) table (several
+    rows per shard across wave increments are OR-ed inside the probe task).
+    A shard absent from the table holds no seen keys, so its candidates are
+    definitely new."""
+    flagged = flag_with_bloom_shards(cand, shards, n_shards, shard_bits)
     fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
     suspect = (
         flagged.where(F.col("_maybe"))
