@@ -157,7 +157,21 @@ def _gjson_modifier(col, name: str) -> Column:
     if name == "@values":
         return F.to_json(F.map_values(F.from_json(col, "map<string,variant>")))
     if name == "@flatten":
-        return F.to_json(F.flatten(F.from_json(col, "array<array<variant>>")))
+        # gjson flattens ONE level and keeps non-array elements as-is
+        # ([1,[2],[3,[4]]] → [1,2,3,[4]]): wrap scalars/objects in a
+        # 1-element array, unnest true arrays, flatten once — all JVM-side.
+        arr = F.from_json(col, "array<variant>")
+        return F.to_json(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda e: F.when(
+                        F.schema_of_variant(e).startswith("ARRAY"),
+                        F.try_variant_get(e, "$", "array<variant>"),
+                    ).otherwise(F.array(e)),
+                )
+            )
+        )
     return col
 
 

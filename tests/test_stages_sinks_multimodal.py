@@ -289,3 +289,12 @@ def test_on_json_gjson_modifier_type_fidelity(spark):
     assert out["m4"] == '[{"y":"2"},{"x":1}]'
     assert out["m5"] == '["1",2,{"d":"03"}]'
     assert out["m6"] == '["1",2,3,"04"]'
+
+
+def test_on_json_gjson_flatten_mixed(spark):
+    """gjson @flatten keeps non-array elements and unnests one level:
+    [1,[2],"x",[3,[4]],{"a":1}] -> [1,2,"x",3,[4],{"a":1}]."""
+    doc = '{"m": [1, [2], "x", [3, [4]], {"a": 1}]}'
+    df = spark.createDataFrame([(doc,)], "body_text string")
+    out = df.transform(on_json("m.@flatten", "f")).collect()[0]
+    assert out["f"] == '[1,2,"x",3,[4],{"a":1}]'
