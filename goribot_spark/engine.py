@@ -99,7 +99,14 @@ class CrawlConfig:
     fetch_mode: str = "synthetic"
     fetch_timeout_sec: float = 5.0
     fetch_threads: int = 8
-    use_bloom: bool = False  # approximate pre-filter over seen (operators/bloom.py)
+    # Approximate pre-filter over seen (operators/bloom.py). Measured
+    # default decision (BENCH/bloom_bench.json): OFF — while seen still
+    # broadcasts, the per-wave probe crossing is pure overhead (+21% wall
+    # at bench scale). Enable (with bloom_sharded) once seen outgrows the
+    # broadcast bar (~10^8+ rows): the probe proved 97% of candidates
+    # fresh with 0 false positives, cutting the exact anti-join's shuffle
+    # input to ~3% at the 10^10 posture. Output identical either way.
+    use_bloom: bool = False
     bloom_bits: int = 1 << 23  # TOTAL bits (split across shards when sharded)
     # Bucket-sharded filter (the 10^10-frontier path): per-shard bitmaps
     # built partition-locally into the bloom_shards table and probed via a
@@ -124,11 +131,17 @@ class CrawlConfig:
     # previous wave's admitted count; bounded by num_partitions.
     auto_shuffle_partitions: bool = True
     target_rows_per_partition: int = 500
-    # Fold committed wave dirs into one base snapshot per table every N
-    # waves (store.compact, mode="files" — lossless). 0 = never. A
-    # continuous (poll=True) crawl otherwise accumulates unbounded wave
-    # dirs that every resume/refresh re-lists; compaction bounds the
-    # store's directory count at ~N per table regardless of crawl length.
+    # Fold committed wave dirs into snapshot tiers every N waves
+    # (store.compact, mode="files" — lossless, O(delta) per fold). 0 =
+    # never. A continuous (poll=True) crawl otherwise accumulates
+    # unbounded wave dirs that every resume/refresh re-lists; compaction
+    # bounds the store's directory count at ~max_tiers + N per table
+    # regardless of crawl length. Measured default decision
+    # (BENCH/compact_crawl_bench.json + scripts/compact_bench.py): OFF
+    # for batch crawls (a fold costs ~2.5s of fixed job overhead that a
+    # short crawl never reads back); N≈25-50 for long/continuous crawls
+    # (<0.1s/wave amortized vs resume-reads that degrade linearly —
+    # 3.7s/2.0s at 150 unfolded waves vs 0.65s folded).
     compact_every_waves: int = 0
     # Waves at or below this many scheduled rows rank their discovered links
     # on the single-partition fast path (ordering.with_global_rank) — same
