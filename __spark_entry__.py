@@ -338,7 +338,8 @@ def q_dedup_components(spark, sf_dir):
     ``component_id``, drop the rest."""
     d = _t(spark, sf_dir, "documents")
     verified = minhash_near_dups(d, threshold=0.5, num_hashes=16, bands=4, shingle_n=3)
-    comp = connected_components(verified)
+    # the verify stage emits distinct normalized pairs — skip CC's edge-dedup
+    comp = connected_components(verified, assume_distinct=True)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
@@ -355,7 +356,7 @@ def q_dedup_canonical_corpus(spark, sf_dir):
     whenever dup density is sane."""
     d = _t(spark, sf_dir, "documents")
     verified = minhash_near_dups(d, threshold=0.5, num_hashes=16, bands=4, shingle_n=3)
-    comp = connected_components(verified)
+    comp = connected_components(verified, assume_distinct=True)
     drop = comp.where(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )

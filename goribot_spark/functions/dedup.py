@@ -560,6 +560,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     driver_max_edges: int = 200_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: ``(node, comp)`` where
     ``comp`` is the minimum id of the node's connected component.
@@ -602,27 +603,33 @@ def connected_components(
     available for pipelines that must never collect).
     """
     import warnings
-    # Eager checkpoint of the INPUT edges: the pair generator upstream (a
-    # full LSH+verify pipeline) would otherwise be INLINED into every
-    # round's plan and re-planned/re-executed by each probe and by the final
-    # nodes join — measured as the dominant cost of the whole operator
-    # (3x the contraction itself at sf0.1). After this, every loop plan is
-    # a scan of a materialized (long, long) RDD.
-    e = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # Size-adaptive plan (the AQE-broadcast analog, decided from the now
-    # materialized edge count — a metadata read, not a job): a verified
-    # near-dup edge list under driver_max_edges longs (~3 MB) is
-    # config-scale, and the distributed contraction's per-round jobs are
-    # pure scheduling overhead for it (measured ~1 s/probe round at sf0.1
-    # for a 252-edge graph). Driver union-find labels it in microseconds;
-    # corpus-scale edge lists take the O(log^2 n)-round contraction below.
+    # Checkpoint of the INPUT edges: the pair generator upstream (a full
+    # LSH+verify pipeline) would otherwise be INLINED into every round's
+    # plan and re-planned/re-executed by each probe and by the final nodes
+    # join — measured as the dominant cost of the whole operator (3x the
+    # contraction itself at sf0.1). After this, every loop plan is a scan
+    # of a materialized (long, long) RDD. The checkpoint is LAZY: the
+    # size-probe count below is the action that materializes it, so the
+    # pipeline runs exactly once (an eager checkpoint + count would run two
+    # jobs). ``assume_distinct`` skips the edge-dedup exchange for callers
+    # whose pair generator already emits distinct normalized pairs (every
+    # LSH/hamming path here does — _banded_pairs ends in distinct());
+    # duplicate edges would be harmless for correctness either way (both
+    # the union-find and the contraction tolerate them), distinct only
+    # bounds the shuffled volume for unknown inputs.
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    # Size-adaptive plan (the AQE-broadcast analog, decided from the
+    # materializing edge count): a verified near-dup edge list under
+    # driver_max_edges longs (~3 MB) is config-scale, and the distributed
+    # contraction's per-round jobs are pure scheduling overhead for it
+    # (measured ~1 s/probe round at sf0.1 for a 252-edge graph). Driver
+    # union-find labels it in microseconds; corpus-scale edge lists take
+    # the O(log^2 n)-round contraction below.
     if e.count() <= driver_max_edges:
         rows = e.collect()
         parent: dict[int, int] = {}
