@@ -44,6 +44,11 @@ _META_CHARSET_RE = re.compile(rb"<meta[^>]+charset=[\"']?([\w\-]+)", re.I)
 # _sniff_legacy). Order is the deterministic tie-break.
 _LEGACY_CODECS = ("gbk", "big5", "shift_jis", "euc_kr", "cp1252")
 
+# Chars scored per candidate in _sniff_legacy (anchored at the first
+# non-ASCII char); bounds the Python scoring loop on huge legacy pages.
+_SNIFF_SCORE_CAP = 4096
+_NON_ASCII_RE = re.compile(r"[^\x00-\x7f]")
+
 # Frequency coherence (the public uchardet/chardet technique, shrunk to a
 # literal set): GBK bytes of Chinese text strict-decode as EUC-KR too (both
 # are EUC-style A1-FE grids), landing on RANDOM hangul — and vice versa. A
@@ -107,14 +112,24 @@ def _legacy_score(text: str, codec: str) -> float:
 def _sniff_legacy(body: bytes) -> str:
     """Decode undeclared non-UTF-8 bytes: strict-decode each legacy
     candidate, keep the highest-scoring plausible text (first candidate
-    wins ties — deterministic). latin-1 is the never-fails floor."""
+    wins ties — deterministic). latin-1 is the never-fails floor.
+
+    The strict decode stays full-body (C-speed, and a codec that can't
+    decode the whole page must not win), but the Python scoring loop runs
+    over a BOUNDED sample — ``_SNIFF_SCORE_CAP`` chars anchored at the
+    candidate text's first non-ASCII character (chardet's bounded-sample
+    technique) — so a multi-megabyte legacy page costs O(cap) Python per
+    candidate instead of O(page), and a long ASCII head can't blind the
+    detector."""
     best_text, best_score = None, float("-inf")
     for codec in _LEGACY_CODECS:
         try:
             text = body.decode(codec)
         except (UnicodeDecodeError, LookupError):
             continue
-        sc = _legacy_score(text, codec)
+        m = _NON_ASCII_RE.search(text)
+        start = m.start() if m else 0
+        sc = _legacy_score(text[start : start + _SNIFF_SCORE_CAP], codec)
         if sc > best_score:
             best_text, best_score = text, sc
     if best_text is not None:

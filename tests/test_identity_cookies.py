@@ -236,3 +236,17 @@ def test_charset_sniff_gbk_still_wins_over_cp1252():
     from goribot_spark.operators.parse import _sniff_legacy
 
     assert _sniff_legacy(body) == "纯中文无标点内容页面测试字符集探测逻辑"
+
+
+def test_charset_sniff_bounded_sample_ascii_head():
+    """The sniff's Python scoring is capped (_SNIFF_SCORE_CAP chars) but
+    anchored at the first non-ASCII char — so a page whose legacy bytes sit
+    after a multi-cap ASCII head still detects correctly, and the scored
+    sample (not the strict decode) is what's bounded."""
+    from goribot_spark.operators.parse import _SNIFF_SCORE_CAP, _sniff_legacy
+
+    head = "<p>" + ("ascii filler text " * (_SNIFF_SCORE_CAP // 6)) + "</p>"
+    tail = "日本語のページです、リンク先の説明文。"
+    body = (head + tail).encode("shift_jis")
+    assert len(head) > 2 * _SNIFF_SCORE_CAP  # the head alone exceeds the cap
+    assert _sniff_legacy(body) == head + tail
