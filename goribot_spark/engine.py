@@ -344,12 +344,23 @@ class CrawlEngine:
         seq_base = int(state.get("seq_base", 0))
         cols = ["url"] if order_col == "url" else ["url", order_col]
         base = urls.select(*cols).where(F.col("url").isNotNull())
+        # Count BEFORE the hash/host columns join the plan: this action is a
+        # plain columnar scan (no UDF, no shuffle — cheap even on a 10^8-row
+        # seed table) and it both supplies the seq_base advance and decides
+        # the rank strategy. Small seed lists take the single-partition fast
+        # path (same deterministic seq, minus the range-shuffle sampling job
+        # + per-partition counts collect that cost ~3s of fixed overhead on
+        # a config-scale seed); frontier-scale re-seeds keep the distributed
+        # rank — the same adaptive flip run_wave applies to drain-tail waves.
+        n_urls = base.count()
         base = with_url_hash(base, "url", "url_hash").withColumn(
             "host", host_of(F.col("url"))
         )
-        ranked, n_urls = with_global_rank(
+        seed_caches: list = []
+        ranked = with_global_rank(
             base, [F.col(order_col).asc()], out_col="seq", base=seq_base,
-            return_total=True,
+            cache_registry=seed_caches,
+            single_partition=n_urls <= self.cfg.small_wave_threshold,
         )
         df = ranked.select(
             "url",
@@ -364,7 +375,14 @@ class CrawlEngine:
             F.lit(handler_id).alias("handler_id"),
             F.lit(None).cast(schemas.FRONTIER["meta"].dataType).alias("meta"),
         )
-        return self._seed_commit(df, n_urls, state, seq_base)
+        n = self._seed_commit(df, n_urls, state, seq_base)
+        # The rank's internal persist (both strategies cache their shuffle
+        # input) is only read through _seed_commit's own persisted frame;
+        # everything is written by now, so release it — a 10^8-row mass
+        # re-seed must not leave its whole frontier pinned in storage memory.
+        for c in seed_caches:
+            c.unpersist()
+        return n
 
     def _ensure_live_robots(self, frame: DataFrame, wave: int) -> None:
         """F2's live leg: fetch + parse robots.txt over HTTP for hosts in
