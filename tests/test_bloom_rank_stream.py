@@ -227,3 +227,38 @@ def test_mass_seed_write_is_parallel(spark, fx, tmp_path):
     sparts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
     assert len(sparts) >= 2
     assert eng.store.pending_frontier().count() == 300_000
+
+
+def test_seed_frame_releases_rank_cache(spark, fx, tmp_path):
+    """Both seed_frame rank strategies persist their shuffle input
+    internally; the seed path must release it after the commit — a mass
+    re-seed must not leave its whole frontier pinned in storage memory
+    (and the small-frame fast path must not leak its repartition(1) cache
+    either). Guard: persistent-RDD count returns to baseline after each
+    seed_frame call, and seeded counts/pending rows stay correct."""
+    from pyspark.sql import functions as F
+
+    from goribot_spark.engine import CrawlConfig, CrawlEngine
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    eng = CrawlEngine(
+        spark, fx, str(tmp_path / "run"), CrawlConfig(max_waves=1, num_partitions=8)
+    )
+    before = n_persistent()
+    # small frame -> single-partition fast path (<= small_wave_threshold)
+    assert (
+        eng.seed_frame(
+            spark.createDataFrame([("http://site0.test/p/0",)], "url string")
+        )
+        == 1
+    )
+    assert n_persistent() == before
+    # mass frame -> distributed range-partitioned rank (> small_wave_threshold)
+    urls = spark.range(25_000).select(
+        F.concat(F.lit("http://bulk.test/p/"), F.col("id")).alias("url")
+    )
+    assert eng.seed_frame(urls) == 25_000
+    assert n_persistent() == before
+    assert eng.store.pending_frontier().count() == 25_001
