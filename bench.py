@@ -48,11 +48,13 @@ BENCH_FLAKY = float(os.environ.get("SPARK_GRAFT_BENCH_FLAKY", "0.05"))
 
 
 def ensure_bench_fixture() -> str:
-    # v2: fixture schema gained set_cookies + undeclared-GBK pages; the
-    # version prefix invalidates caches generated by older fixture code.
+    # v3: phash box means now weight exact integer channel sums (same real-
+    # valued definition, less rounding) — cached fixtures carry stored phash
+    # values, so the version prefix invalidates caches from older codec code.
+    # (v2: fixture schema gained set_cookies + undeclared-GBK pages.)
     marker = os.path.join(
         BENCH_FX,
-        f"ok2_{BENCH_HOSTS}_{BENCH_DEPTH}_{BENCH_IMAGES}_{BENCH_MAX_REFS}_{BENCH_FLAKY}",
+        f"ok3_{BENCH_HOSTS}_{BENCH_DEPTH}_{BENCH_IMAGES}_{BENCH_MAX_REFS}_{BENCH_FLAKY}",
     )
     if not os.path.exists(marker):
         shutil.rmtree(BENCH_FX, ignore_errors=True)

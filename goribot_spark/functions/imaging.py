@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from goribot_spark.functions.pngcodec import decode_png, phash64
+from goribot_spark.functions.pngcodec import decode_png, phash64, phash64_batch
 
 try:  # pragma: no cover - sandbox has no PIL
     from PIL import Image  # noqa: F401
@@ -45,40 +45,68 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _JPEG_SIG = b"\xff\xd8\xff"
 
 
-def decode_image_bytes(b: bytes | None):
-    """bytes → (w, h, fmt, phash, err). PNG via pure-Python codec; JPEG via
+def _decode_pixels(b: bytes | None):
+    """bytes → (pixels|None, fmt, err). PNG via pure-Python codec; JPEG via
     PIL when available, else a marked stub error (never an exception)."""
     if b is None:
-        return None, None, None, None, "empty"
+        return None, None, "empty"
     try:
         if b[:8] == _PNG_SIG:
-            px = decode_png(b)
-            return px.shape[1], px.shape[0], "png", phash64(px), None
+            return decode_png(b), "png", None
         if b[:3] == _JPEG_SIG:
             if not _HAS_PIL:
-                return None, None, "jpeg", None, "jpeg_decode_unavailable:no_PIL"
+                return None, "jpeg", "jpeg_decode_unavailable:no_PIL"
             import io
 
             import numpy as np
 
-            px = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
-            return px.shape[1], px.shape[0], "jpeg", phash64(px), None
-        return None, None, None, None, "unknown_format"
+            return np.asarray(Image.open(io.BytesIO(b)).convert("RGB")), "jpeg", None
+        return None, None, "unknown_format"
     except Exception as e:
-        return None, None, None, None, f"decode_error:{type(e).__name__}"
+        return None, None, f"decode_error:{type(e).__name__}"
+
+
+def decode_image_bytes(b: bytes | None):
+    """bytes → (w, h, fmt, phash, err) — scalar convenience path (tests,
+    single-row callers). The hot path is decode_image_udf below."""
+    px, fmt, err = _decode_pixels(b)
+    if px is None:
+        return None, None, fmt, None, err
+    return px.shape[1], px.shape[0], fmt, phash64(px), err
 
 
 @F.pandas_udf(DECODED)
 def decode_image_udf(data: pd.Series) -> pd.DataFrame:
-    out = {"w": [], "h": [], "fmt": [], "phash": [], "decode_error": []}
-    for b in data:
-        w, h, fmt, ph, err = decode_image_bytes(b)
-        out["w"].append(w)
-        out["h"].append(h)
-        out["fmt"].append(fmt)
-        out["phash"].append(ph)
-        out["decode_error"].append(err)
-    return pd.DataFrame(out)
+    """Decode + phash an Arrow batch of image bytes. Decode is per-image
+    (variable-length bytes), but the phash — the dominant per-image cost
+    after the filter-0 decode fast path — runs batched per pixel shape
+    (``phash64_batch``, bit-identical to the scalar path): corpora have few
+    distinct image shapes, so nearly the whole batch vectorizes across
+    images instead of paying per-image numpy call overhead."""
+    import numpy as np
+
+    n = len(data)
+    w_o: list = [None] * n
+    h_o: list = [None] * n
+    f_o: list = [None] * n
+    p_o: list = [None] * n
+    e_o: list = [None] * n
+    by_shape: dict[tuple, tuple[list, list]] = {}
+    for i, b in enumerate(data):
+        px, fmt, err = _decode_pixels(b)
+        f_o[i] = fmt
+        e_o[i] = err
+        if px is not None:
+            h_o[i], w_o[i] = int(px.shape[0]), int(px.shape[1])
+            idxs, arrs = by_shape.setdefault(px.shape[:2], ([], []))
+            idxs.append(i)
+            arrs.append(px)
+    for _, (idxs, arrs) in by_shape.items():
+        for i, v in zip(idxs, phash64_batch(np.stack(arrs))):
+            p_o[i] = int(v)
+    return pd.DataFrame(
+        {"w": w_o, "h": h_o, "fmt": f_o, "phash": p_o, "decode_error": e_o}
+    )
 
 
 def with_decoded(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:

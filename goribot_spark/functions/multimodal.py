@@ -142,7 +142,7 @@ def render_fingerprint_images(
     shuffle — one Arrow batch in, one out)."""
     from pyspark.sql.types import LongType
 
-    from goribot_spark.functions.pngcodec import phash64
+
 
     import hashlib
 
@@ -167,17 +167,21 @@ def render_fingerprint_images(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from goribot_spark.functions.pngcodec import phash64_batch
+
         for pdf in batches:
-            blobs, hashes = [], []
+            blobs, pxs = [], []
             for fp in pdf[fp_col]:
                 px = (
                     np.frombuffer(_fill(fp), np.uint8)
                     .reshape(size, size, 3)
                     .copy()
                 )
-                png = encode_png(px)
-                blobs.append(png)
-                hashes.append(phash64(decode_png(png)))
+                blobs.append(encode_png(px))
+                pxs.append(decode_png(blobs[-1]))
+            # Same-shape renders → one batched phash (bit-identical to the
+            # scalar phash64; see test_phash_batch_bit_identical).
+            hashes = phash64_batch(np.stack(pxs)).tolist() if pxs else []
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "bytes": blobs, "phash": hashes}
             )
