@@ -35,6 +35,10 @@ def main():
         "urls_per_sec": c["urls_per_sec_scheduled"],
         "images_per_sec": c["images_per_sec_decoded"],
         "pages": c["pages"],
+        # ladder_report.py splits kernel cohorts on this note; every draw at
+        # post-e2ef847 HEAD belongs to the new-kernel cohort (override or
+        # annotate via SPARK_GRAFT_DRAW_NOTE)
+        "note": os.environ.get("SPARK_GRAFT_DRAW_NOTE", "new decode kernel"),
     }
     path = os.path.join(REPO, "BENCH", "leg_draws.json")
     draws = []
