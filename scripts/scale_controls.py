@@ -5,10 +5,10 @@ same process counts as the crawl pairs:
 
   alu    — pure-register integer loop (no memory traffic): how many
            genuinely independent cores the VM provides.
-  membw  — streaming 200MB numpy reductions: the SHARED memory-bus
-           ceiling. On a real cluster each node brings its own memory bus
-           (like disks), so this is a single-box artifact, not an engine
-           property.
+  membw  — streaming numpy reductions (in-child timing, GB/s): the SHARED
+           memory-bus ceiling. On a real cluster each node brings its own
+           memory bus (like disks), so this is a single-box artifact, not
+           an engine property.
   decode — the engine's actual dominant kernel (PNG decode + phash over the
            bench images via with_decoded) inside Spark at local[N]: where
            the pipeline's own scaling sits between those two bounds.
@@ -36,14 +36,27 @@ def _alu_burn(n: int) -> int:
     return x
 
 
-def _membw_burn(_: int) -> int:
+_MEMBW_BYTES = 200_000_000
+_MEMBW_PASSES = 32
+
+
+def _membw_burn(_: int) -> float:
+    """Return seconds spent STREAMING _MEMBW_PASSES x _MEMBW_BYTES, timed
+    inside the child. The previous probe timed np.random.bytes generation
+    (0.2-1.7s of RNG/ cold-init CPU) against 0.1s of actual sums at the
+    pool level, so its 'bandwidth' numbers were dominated by fork/init
+    noise and read physically-impossible superlinear across rungs."""
+    import time
+
     import numpy as np
 
-    a = np.random.bytes(100_000_000)
+    a = np.arange(_MEMBW_BYTES // 8, dtype=np.uint64)
     b = 0
-    for _ in range(8):
-        b ^= int(np.frombuffer(a, dtype=np.uint64).sum())
-    return b
+    t0 = time.time()
+    for _ in range(_MEMBW_PASSES):
+        b ^= int(a.sum())
+    elapsed = time.time() - t0
+    return elapsed if b >= 0 else elapsed
 
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_CONTROL_REPEATS", "3"))
@@ -59,6 +72,20 @@ def pool_rate(fn, procs: int, arg: int) -> float:
         with mp.Pool(procs) as p:
             p.map(fn, [arg] * procs)
         best = max(best, procs / (time.time() - t0))
+    return best
+
+
+def membw_gbps(procs: int) -> float:
+    """Aggregate streaming bandwidth in GB/s: every child streams the same
+    bytes concurrently; the slowest child's in-child streaming time (pool
+    spawn and numpy init excluded) bounds the window in which all
+    procs x bytes moved. Best of REPEATS, same one-sided-steal rationale."""
+    best = 0.0
+    total = procs * _MEMBW_BYTES * _MEMBW_PASSES
+    for _ in range(REPEATS):
+        with mp.Pool(procs) as p:
+            times = p.map(_membw_burn, [0] * procs)
+        best = max(best, total / max(times) / 1e9)
     return best
 
 
@@ -105,11 +132,11 @@ def main() -> None:
     # existing proc count keeps the better (max-rate) measurement since
     # host steal only ever subtracts from a rate probe
     path = os.path.join(REPO, "BENCH", "controls.json")
-    out = {"procs": [], "alu": {}, "membw": {}, "decode_per_sec": {}}
+    out = {"procs": [], "alu": {}, "membw_gbps": {}, "decode_per_sec": {}}
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        for k in ("alu", "membw", "decode_per_sec"):
+        for k in ("alu", "membw_gbps", "decode_per_sec"):
             out[k].update(prior.get(k, {}))
         out["procs"] = list(prior.get("procs", []))
     out["procs"] = sorted(set(out["procs"]) | set(procs))
@@ -117,8 +144,8 @@ def main() -> None:
         out["alu"][str(p)] = max(
             out["alu"].get(str(p), 0.0), round(pool_rate(_alu_burn, p, 30_000_000), 3)
         )
-        out["membw"][str(p)] = max(
-            out["membw"].get(str(p), 0.0), round(pool_rate(_membw_burn, p, 0), 3)
+        out["membw_gbps"][str(p)] = max(
+            out["membw_gbps"].get(str(p), 0.0), round(membw_gbps(p), 2)
         )
     if os.path.isdir(os.path.join(fx)):
         for p in procs:
@@ -127,7 +154,7 @@ def main() -> None:
                 round(max(decode_rate(p, fx) for _ in range(REPEATS)), 1),
             )
     all_procs = out["procs"]
-    for k in ("alu", "membw", "decode_per_sec"):
+    for k in ("alu", "membw_gbps", "decode_per_sec"):
         v = out[k]
         lo, hi = str(all_procs[0]), str(all_procs[-1])
         if lo in v and hi in v and v[lo]:
