@@ -461,6 +461,49 @@ def q_image_phash_pairs(spark, sf_dir):
     return phash_near_dups(imgs, id_col="doc_id")
 
 
+def q_image_caption_joint_dedup(spark, sf_dir):
+    """Joint image+caption near-dup pairs — the canonical dedup for an
+    image+caption corpus (the north rule's input table): a pair is a
+    duplicate only if the IMAGES collide (pHash hamming ≤ 3 via the banded
+    self-join, exactly ``q_image_phash_pairs``'s candidate machinery) AND
+    the CAPTIONS agree (exact 3-gram Jaccard ≥ 0.5 on the full text).
+    Pixel-identical hero images with rewritten captions (or vice versa)
+    survive — dropping either leg over-deletes at corpus scale. Composes
+    the two existing generators; the only added shuffle is the caption
+    shingle join onto the (already small) verified image-pair set, so the
+    100 TB posture is inherited: pairs ≪ corpus, shingles join by id."""
+    pairs = q_image_phash_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_from_tokens(F.col("_toks"), 3)).alias("sh"),
+        )
+    )
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "hamming", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -502,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped": q_source_capped,
         "simhash_near_dups": q_simhash_near_dups,
         "image_phash_pairs": q_image_phash_pairs,
+        "image_caption_joint_dedup": q_image_caption_joint_dedup,
     }
 
 
@@ -1114,7 +1158,30 @@ def oracle_sql() -> dict[str, str]:
         # Groups over the band-bucket cap degrade to star pairs against the
         # group-min doc (identical phashes -> the fp8 group IS the bucket in
         # every band, so the fp8-space mirror is exact).
-        "image_phash_pairs": f"""
+        "image_phash_pairs": _IMAGE_PHASH_SQL,
+        # img pairs are the (small) verified near-dup set; the caption legs
+        # join onto it by id — mirrors the Spark plan's join order exactly.
+        "image_caption_joint_dedup": f"""
+            with img as ({_IMAGE_PHASH_SQL}),
+            toks as (select doc_id, {_TOKS} w from documents),
+            sh as (
+              select doc_id,
+                case when len(w) < 3 then [] else {_SHINGLES} end s
+              from toks
+            )
+            select * from (
+              select p.id_a, p.id_b, p.hamming,
+                round(len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(a.s || b.s)), 4) jaccard
+              from img p
+              join sh a on a.doc_id = p.id_a
+              join sh b on b.doc_id = p.id_b
+            ) where jaccard >= 0.5
+        """,
+    }
+
+
+_IMAGE_PHASH_SQL = f"""
             with p as (
               select doc_id, md5(array_to_string({_TOKS}[1:8], ' ')) fp8
               from documents where length(trim(text)) > 0
@@ -1151,5 +1218,4 @@ def oracle_sql() -> dict[str, str]:
             from g where _cnt > {LSH_BUCKET_CAP} and _prev is not null
             union
             select id_a, id_b, 0::INT from seams
-        """,
-    }
+"""
