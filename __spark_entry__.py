@@ -472,10 +472,21 @@ def q_image_caption_joint_dedup(spark, sf_dir):
     the two existing generators; the only added shuffle is the caption
     shingle join onto the (already small) verified image-pair set, so the
     100 TB posture is inherited: pairs ≪ corpus, shingles join by id."""
-    pairs = q_image_phash_pairs(spark, sf_dir)
+    pairs = q_image_phash_pairs(spark, sf_dir).localCheckpoint(eager=False)
     d = _t(spark, sf_dir, "documents")
+    # Shingle ONLY the pair members: the verified image-pair set is ≪ the
+    # corpus (bucket-capped), so a semi-join before the shingle UDF prunes
+    # the caption tokenization from O(corpus) to O(pairs) — at the 100 TB
+    # posture that is the whole cost of the caption leg. AQE turns the id
+    # join into a broadcast when the pair set is small enough.
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     sh = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.join(ids, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("_toks"))
         .select(
             "doc_id",
