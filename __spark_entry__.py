@@ -1031,6 +1031,46 @@ qualify row_number() over (partition by fp order by doc_id) = 1
 """
 
 
+_IMAGE_PHASH_SQL = f"""
+            with p as (
+              select doc_id, md5(array_to_string({_TOKS}[1:8], ' ')) fp8
+              from documents where length(trim(text)) > 0
+            ),
+            g0 as (
+              select doc_id, fp8,
+                count(*) over (partition by fp8) _cnt,
+                min(doc_id) over (partition by fp8) _rep
+              from p
+            ),
+            g as (
+              select doc_id, fp8, _cnt, _rep,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % greatest(1, ceil(_cnt / {LSH_CHAIN_SEG}.0))::BIGINT _salt,
+                lag(doc_id) over (partition by fp8, _salt order by doc_id) _prev
+              from g0
+            ),
+            seams as (
+              select least(_psr, _sr) id_a, greatest(_psr, _sr) id_b from (
+                select min(doc_id) _sr,
+                  lag(min(doc_id)) over (partition by fp8 order by _salt) _psr
+                from g where _cnt > {LSH_BUCKET_CAP}
+                group by fp8, _salt
+              ) where _psr is not null
+            )
+            select a.doc_id id_a, b.doc_id id_b, 0::INT hamming
+            from g a join g b on a.fp8 = b.fp8 and a.doc_id < b.doc_id
+            where a._cnt <= {LSH_BUCKET_CAP}
+            union
+            select _rep, doc_id, 0::INT
+            from g where _cnt > {LSH_BUCKET_CAP} and doc_id != _rep
+            union
+            select _prev, doc_id, 0::INT
+            from g where _cnt > {LSH_BUCKET_CAP} and _prev is not null
+            union
+            select id_a, id_b, 0::INT from seams
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1192,41 +1232,3 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-_IMAGE_PHASH_SQL = f"""
-            with p as (
-              select doc_id, md5(array_to_string({_TOKS}[1:8], ' ')) fp8
-              from documents where length(trim(text)) > 0
-            ),
-            g0 as (
-              select doc_id, fp8,
-                count(*) over (partition by fp8) _cnt,
-                min(doc_id) over (partition by fp8) _rep
-              from p
-            ),
-            g as (
-              select doc_id, fp8, _cnt, _rep,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-                  % greatest(1, ceil(_cnt / {LSH_CHAIN_SEG}.0))::BIGINT _salt,
-                lag(doc_id) over (partition by fp8, _salt order by doc_id) _prev
-              from g0
-            ),
-            seams as (
-              select least(_psr, _sr) id_a, greatest(_psr, _sr) id_b from (
-                select min(doc_id) _sr,
-                  lag(min(doc_id)) over (partition by fp8 order by _salt) _psr
-                from g where _cnt > {LSH_BUCKET_CAP}
-                group by fp8, _salt
-              ) where _psr is not null
-            )
-            select a.doc_id id_a, b.doc_id id_b, 0::INT hamming
-            from g a join g b on a.fp8 = b.fp8 and a.doc_id < b.doc_id
-            where a._cnt <= {LSH_BUCKET_CAP}
-            union
-            select _rep, doc_id, 0::INT
-            from g where _cnt > {LSH_BUCKET_CAP} and doc_id != _rep
-            union
-            select _prev, doc_id, 0::INT
-            from g where _cnt > {LSH_BUCKET_CAP} and _prev is not null
-            union
-            select id_a, id_b, 0::INT from seams
-"""
